@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.Relational.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.AnnQueries.queries ++
+      graft.queries.MultimodalQueries.queries ++
+      graft.streaming.StreamingQueries.queries
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables).
+    * Queries absent here are non-SQL-expressible (LSH/heuristic/
+    * multimodal) → driver records the weaker rows-only check; each has
+    * a ScalaTest spec asserting its semantics instead (SURVEY.md §5).
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.AnnQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

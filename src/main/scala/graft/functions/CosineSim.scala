@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two FLOAT vectors.
+  *
+  * The hot path of q38–q40 (SURVEY.md §2). A codegen'd single pass
+  * accumulates dot product and both norms without boxing, staying
+  * inside whole-stage codegen — at 100 TB this is scan-bound, unlike a
+  * Scala UDF which would deserialize each array into
+  * `Seq[Float]` per row.
+  *
+  * Accumulation is sequential in element order, so the result is
+  * bit-deterministic for a given pair regardless of partitioning.
+  * Returns NULL for NULL inputs or zero-norm vectors.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / math.sqrt(nx * ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = (double) $a.getFloat(i);
+         |  double yi = (double) $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |if (nx == 0.0 || ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = dot / java.lang.Math.sqrt(nx * ny);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Column-API entry point: `CosineSim($"a", $"b")`. */
+  def apply(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Hashing, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries q30–q33 (SURVEY.md §2). All map-side
+  * column expressions — shuffle-free, scan-bound at scale.
+  */
+object TextQueries {
+
+  // ---------------------------------------------------------------- q30
+  /** Quality scoring. The oracle mirrors the same arithmetic with
+    * portable SQL (replace-trick counts; regexp_replace for char
+    * classes identical across engines).
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val txt = col("text")
+    d.select(
+        col("doc_id"),
+        length(txt).as("n_chars_calc"),
+        T.wsTokenCount(txt).as("n_words"),
+        (length(txt) - length(regexp_replace(txt, "[.,!?;:]", "")))
+          .as("n_punct"),
+        (length(txt) - length(regexp_replace(txt, "[0-9]", "")))
+          .as("n_digits"),
+        (length(txt).cast("double") /
+          greatest(T.wsTokenCount(txt), lit(1)).cast("double"))
+          .as("chars_per_word"))
+      .orderBy("doc_id")
+  }
+
+  // whitespace-run word count, portable: collapse \s+ to one space,
+  // then spaces+1 (matches TextFunctions.wsTokenCount exactly)
+  private val sqlWsCount =
+    """CASE WHEN LENGTH(regexp_replace(TRIM(text), '\s+', ' ', 'g')) = 0 THEN 0
+      |     ELSE LENGTH(regexp_replace(TRIM(text), '\s+', ' ', 'g'))
+      |          - LENGTH(REPLACE(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ', '')) + 1
+      |END""".stripMargin
+
+  private val q30Sql =
+    s"""SELECT doc_id,
+      |  CAST(LENGTH(text) AS INT) AS n_chars_calc,
+      |  CAST($sqlWsCount AS INT) AS n_words,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+      |  CAST(LENGTH(text) AS DOUBLE) /
+      |    CAST(GREATEST($sqlWsCount, 1) AS DOUBLE) AS chars_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val txt = col("text")
+    d.select(
+        col("doc_id"),
+        T.wsTokenCount(txt).as("ws_tokens"),
+        T.bpeTokenCount(txt).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q31Sql =
+    s"""SELECT doc_id,
+       |  CAST($sqlWsCount AS INT) AS ws_tokens,
+       |  CAST(LEN(regexp_extract_all(text, '${T.BpePattern}')) AS INT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Language ID (rows-only: testdata `lang` is a random tag, see
+    * TextFunctions.langId doc; heuristic validated in TextSpec).
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), T.langId(col("text")).as("pred_lang"),
+        col("lang").as("tagged_lang"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q33
+  /** Document fingerprinting: full-content hash + k-min-values sketch
+    * of word 3-grams (winnowing-style). Deterministic; rows-only.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val hashes = Hashing.shingleHashes(
+      T.wordNGrams(T.tokens(col("text")), 3))
+    d.select(
+        col("doc_id"),
+        xxhash64(T.normText(col("text"))).as("content_hash"),
+        Hashing.kMinSketch(hashes, 8).as("kmin_sketch"),
+        Hashing.simHash64(Hashing.shingleHashes(T.tokens(col("text"))))
+          .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_quality" -> (q30 _),
+    "q31_tokens"       -> (q31 _),
+    "q32_langid"       -> (q32 _),
+    "q33_fingerprint"  -> (q33 _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_quality" -> q30Sql,
+    "q31_tokens"       -> q31Sql)
+}

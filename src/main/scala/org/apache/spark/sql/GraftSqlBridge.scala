@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's package-private Column↔Expression
+  * converters, for registering graft's native Catalyst expressions as
+  * `Column`s. Same pattern as other Spark-extension libraries (a
+  * one-file shim in the `org.apache.spark.sql` namespace).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

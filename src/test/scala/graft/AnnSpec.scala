@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("CosineSim expression matches scala computation, handles zero/null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(CosineSim(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1).getDouble(0) - 0.0) < 1e-12)
+    assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-12)
+    assert(got(3).isNullAt(0)) // zero-norm → null
+  }
+
+  /** In-memory exact top-k (ground truth). */
+  private lazy val bruteTopK: Map[Long, Seq[Long]] = {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    vecs.filter(_._1 < 10).map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (vid, v) => (vid, cos(q, v)) }
+        .sortBy { case (vid, c) => (-c, vid) }
+        .take(AnnQueriesK).map(_._1).toSeq
+    }.toMap
+  }
+  private val AnnQueriesK = graft.queries.AnnQueries.K
+
+  test("q39 brute-force top-k matches in-memory ground truth exactly") {
+    val got = SparkEntry.queries("q39_ann_brute")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      }
+    assert(got.keySet === bruteTopK.keySet)
+    got.foreach { case (q, ids) => assert(ids === bruteTopK(q), s"query $q") }
+  }
+
+  test("q40 LSH ANN: recall@10 vs brute force is meaningfully above random") {
+    val got = SparkEntry.queries("q40_ann_lsh")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = bruteTopK.map { case (q, truth) =>
+      got.get(q).map(c => truth.count(c.contains).toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // random 10-of-499 baseline ≈ 0.02; require well above that
+    assert(mean >= 0.10, f"mean recall@10 = $mean%.3f")
+  }
+}

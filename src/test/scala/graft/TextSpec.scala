@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  import spark.implicits._
+
+  test("langId identifies authored samples (testdata lang col is a random tag)") {
+    val samples = Seq(
+      ("the cat is in the house and it is warm", "en"),
+      ("der Hund ist nicht mit der Katze und das ist gut", "de"),
+      ("le chat est dans la maison et les chiens pour un jour", "fr"),
+      ("el gato es un animal que vive en la casa por la noche", "es"),
+      ("这是一个中文句子用来测试语言识别", "zh")).toDF("text", "expected")
+    val got = samples.select(col("expected"), T.langId(col("text")).as("pred"))
+      .collect()
+    got.foreach(r =>
+      assert(r.getString(0) === r.getString(1),
+        s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("token counts: whitespace trick equals split semantics on normal text") {
+    val df = Seq("one two three", "  padded   spaces  ", "single", "")
+      .toDF("text")
+    val rows = df.select(
+      T.wsTokenCount(col("text")).as("n"),
+      size(split(trim(col("text")), "\\s+")).as("m"),
+      col("text")).collect()
+    rows.filter(_.getAs[String]("text").trim.nonEmpty).foreach { r =>
+      assert(r.getAs[Int]("n") === r.getAs[Int]("m"), r.getAs[String]("text"))
+    }
+    assert(rows.find(_.getAs[String]("text").isEmpty).get.getAs[Int]("n") === 0)
+  }
+
+  test("bpe-ish token count splits letters/digits/punct") {
+    val rows = Seq("abc123!x y", "hello, world.").toDF("text")
+      .select(T.bpeTokenCount(col("text")).as("n")).collect()
+    // "abc","123","!","x","y" = 5 ; "hello",",","world","." = 4
+    assert(rows.map(_.getInt(0)).toSeq === Seq(5, 4))
+  }
+
+  test("quality score is deterministic and in [0,1]") {
+    val a = SparkEntry.queries("q30_text_quality")(spark, sf).collect()
+    val b = SparkEntry.queries("q30_text_quality")(spark, sf).collect()
+    assert(a.sameElements(b))
+    val scores = Tables.documents(spark, sf)
+      .select(T.qualityScore(col("text")).as("q")).collect()
+    assert(scores.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  test("fingerprints are deterministic and distinct for distinct docs") {
+    val fp = SparkEntry.queries("q33_fingerprint")(spark, sf).collect()
+    val hashes = fp.map(_.getAs[Long]("content_hash"))
+    assert(hashes.distinct.length === hashes.length) // all 500 texts distinct
+    val fp2 = SparkEntry.queries("q33_fingerprint")(spark, sf).collect()
+    assert(fp.map(_.getAs[Long]("simhash")).toSeq ===
+      fp2.map(_.getAs[Long]("simhash")).toSeq)
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local rehearsal of the driver's correctness gate.
+
+Reads target/verify_out/<q>/ parquet (Spark results) and runs the
+oracle SQL from oracle_sql.json in DuckDB over the same sf dir, then
+compares: row count, schema (column names), and a value hash computed
+after sorting columns by name (mirroring the driver's described
+compare). Rows are compared in result order AND as sorted multisets so
+we can tell ordering bugs from value bugs.
+"""
+import sys, json, glob, os, hashlib
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def table_repr(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(canon(r[i]) for i in order) for r in rows]
+
+fails = []
+for q in sorted(oracle):
+    spark_dir = f"{out_dir}/{q}"
+    if not os.path.isdir(spark_dir):
+        print(f"{q}: MISSING spark output"); fails.append(q); continue
+    try:
+        s = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        scols, srows = s.columns, s.fetchall()
+        d = con.sql(oracle[q])
+        dcols, drows = d.columns, d.fetchall()
+    except Exception as e:
+        print(f"{q}: ERROR {e}"); fails.append(q); continue
+    status = []
+    if sorted(scols) != sorted(dcols):
+        status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        status.append(f"ROWS spark={len(srows)} duck={len(drows)}")
+    if not status:
+        st, dt = table_repr(scols, srows), table_repr(dcols, drows)
+        if st == dt:
+            status = None
+        elif sorted(st) == sorted(dt):
+            status = ["ORDER-ONLY mismatch"]
+        else:
+            diff = [(a, b) for a, b in zip(st, dt) if a != b][:3]
+            status = [f"VALUES {len([1 for a,b in zip(st,dt) if a!=b])} differing rows, first: {diff}"]
+    if status is None:
+        print(f"{q}: OK ({len(srows)} rows)")
+    else:
+        print(f"{q}: FAIL {'; '.join(status)}"); fails.append(q)
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} OK")
+sys.exit(1 if fails else 0)
