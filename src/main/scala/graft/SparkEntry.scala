@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.AnnQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
+      graft.queries.Extended.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables).
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.AnnQueries.oracles ++
+      graft.queries.Extended.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

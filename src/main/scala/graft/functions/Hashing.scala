@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash / SimHash / fingerprint column builders (SURVEY.md §2
@@ -35,21 +35,51 @@ object Hashing {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => xxhash64(s))
 
-  /** MinHash signature (array<long> of length k) from an array of
-    * shingle hashes. `array_min` over an affine reshuffle of the
-    * per-shingle hashes; signed-long comparison is a fixed total order
-    * — consistent everywhere, which is all min-wise hashing needs.
+  /** MinHash signatures as a DataFrame stage: (id, shingles array) →
+    * (id, sig array<long> of length k).
+    *
+    * Shape matters for scale: explode the shingles ONCE and compute
+    * the k permutation-minima as k grouped MIN aggregates — all
+    * whole-stage-codegen'd with map-side partial aggregation, so the
+    * shuffle carries only k longs per doc and the text pipeline runs
+    * exactly once per shingle. (The tempting nested-HOF form
+    * `transform(0..k, i -> array_min(transform(hashes, ...)))`
+    * re-evaluates the inner array per outer element — k× the whole
+    * tokenize/hash pipeline per ROW — and falls out of codegen.)
     */
-  def minHashSignature(hashes: Column, k: Int = 128): Column = {
+  def minHashSignatures(df: DataFrame, idCol: String, shinglesCol: String,
+      k: Int = 128): DataFrame = {
     val (a, b) = affineSeeds(k)
-    val aLit = typedlit(a)
-    val bLit = typedlit(b)
-    val reduced = transform(hashes, h => pmod(h, lit(MinHashPrime)))
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(reduced,
-        h => pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
-          lit(MinHashPrime)))))
+    val exploded = df
+      .select(col(idCol), explode(col(shinglesCol)).as("_sh"))
+      .select(col(idCol), pmod(xxhash64(col("_sh")), lit(MinHashPrime)).as("_h"))
+    val mins = (0 until k).map(i =>
+      min(pmod(col("_h") * a(i) + b(i), lit(MinHashPrime))).as(s"_m$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** SimHash codes as a DataFrame stage: (id, shingles array) →
+    * (id, simhash long). Same explode+groupBy shape as
+    * [[minHashSignatures]]: 64 conditional-SUM aggregates (±1 per
+    * bit), then the bits packed into one long.
+    */
+  def simHashes(df: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(col(shinglesCol)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    val sums = BitMasks.zipWithIndex.map { case (m, i) =>
+      sum(when(col("_h").bitwiseAND(m) =!= 0, 1L).otherwise(-1L)).as(s"_b$i")
+    }
+    val packed = BitMasks.zipWithIndex.map { case (m, i) =>
+      when(col(s"_b$i") >= 0, m).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    exploded
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
   }
 
   /** LSH band keys: hash of each r-row slice of the signature
@@ -62,23 +92,6 @@ object Hashing {
       j => xxhash64(slice(sig, j * rows + 1, lit(rows))))
 
   private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
-
-  /** 64-bit SimHash over token hashes: bit j of the result is set iff
-    * the sum over tokens of ±1 (sign of bit j of the token hash) is
-    * non-negative.
-    */
-  def simHash64(hashes: Column): Column = {
-    val masks = typedlit(BitMasks)
-    val bitCols = transform(
-      sequence(lit(0), lit(63)),
-      j => when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc +
-            when(h.bitwiseAND(element_at(masks, j + 1)) =!= 0, 1L)
-              .otherwise(-1L)) >= 0,
-        element_at(masks, j + 1)).otherwise(0L))
-    aggregate(bitCols, lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
 
   /** 8-bit chunks of a SimHash. Two codes within Hamming distance 7
     * must agree on ≥1 of 8 chunks (pigeonhole) → exact-match blocking

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Signed-random-projection LSH codes as ONE native expression.
+  *
+  * Returns `array<int>` of length `tables`: the b-bit hyperplane
+  * bucket code of a float-vector embedding in each LSH table.
+  * Hyperplanes are Gaussian, generated from the fixed `seed` —
+  * deterministic across runs, partitions, and plan re-executions.
+  *
+  * Why an expression instead of `zip_with`/`aggregate` HOFs: each
+  * interpreted HOF element-step pays expression-dispatch + boxing
+  * (~µs); tables×bits×dim steps ≈ 10 ms/row. The same loops in plain
+  * Java run in ~µs/row. (CodegenFallback: the interior is already a
+  * tight loop; per-row fallback overhead is irrelevant.)
+  */
+case class SrpCode(child: Expression, tables: Int, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "srp_code"
+
+  /** Max supported embedding dimension. */
+  private val MaxDim = 256
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, MaxDim)(rnd.nextGaussian())
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), MaxDim)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var j = 0
+      while (j < bits) {
+        val w = planes(t)(j)
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += x(i) * w(i); i += 1 }
+        if (dot >= 0) code |= (1 << j)
+        j += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpCode {
+  def apply(emb: Column, tables: Int, bits: Int, seed: Long = 0xA11CE5L): Column =
+    GraftSqlBridge.column(
+      SrpCode(GraftSqlBridge.expression(emb), tables, bits, seed))
+}

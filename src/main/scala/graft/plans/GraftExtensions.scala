@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.functions.{CosineSim, SrpCode}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Catalyst integration surface: exposes graft's native expressions to
+  * SQL (`SELECT cosine_sim(a, b)`, `srp_code(emb, 8, 8)`), both via
+  * `SparkSessionExtensions` (for `.withExtensions` /
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  * build) and via [[register]] for an already-running session (the
+  * driver owns session construction, so Verify/Bench use the latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    e.injectFunction(GraftExtensions.srpCodeDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"srp_code: $what must be an integer literal, got $other")
+  }
+
+  private[plans] val cosineSimDescriptor = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (args: Seq[Expression]) => CosineSim(args(0), args(1)))
+
+  private[plans] val srpCodeDescriptor = (
+    FunctionIdentifier("srp_code"),
+    new ExpressionInfo(classOf[SrpCode].getName, "srp_code"),
+    (args: Seq[Expression]) => SrpCode(
+      args.head,
+      intArg(args(1), "tables"),
+      intArg(args(2), "bits"),
+      if (args.length > 3) intArg(args(3), "seed").toLong else 0xA11CE5L))
+
+  /** Register the functions on a live session (temp functions). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", args => CosineSim(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_code",
+      args => SrpCode(args.head, intArg(args(1), "tables"),
+        intArg(args(2), "bits"),
+        if (args.length > 3) intArg(args(3), "seed").toLong else 0xA11CE5L),
+      "built-in")
+  }
+}

@@ -56,9 +56,7 @@ object DedupQueries {
       .filter(size(col("toks")) >= 2)
       .withColumn("shingles", array_distinct(T.wordNGrams(col("toks"), 2)))
       .select(col("doc_id"), col("shingles"))
-    val sigs = withShingles
-      .withColumn("sig",
-        Hashing.minHashSignature(Hashing.shingleHashes(col("shingles")), 128))
+    val sigs = Hashing.minHashSignatures(withShingles, "doc_id", "shingles", 128)
       .select(col("doc_id"),
         posexplode(Hashing.bandKeys(col("sig"), bands = 16, rows = 8))
           .as(Seq("band", "key")))
@@ -87,12 +85,12 @@ object DedupQueries {
     * missed) + `bit_count(xor)` verify.
     */
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("sim",
-        Hashing.simHash64(
-          Hashing.shingleHashes(
-            array_distinct(T.wordNGrams(T.tokens(col("text")), 2)))))
-      .select(col("doc_id"), col("sim"))
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(T.wordNGrams(T.tokens(col("text")), 2)).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+    val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
+      .select(col("doc_id"), col("simhash").as("sim"))
     val chunks = docs.select(col("doc_id"), col("sim"),
       posexplode(Hashing.simHashChunks(col("sim"))).as(Seq("chunk_idx", "chunk")))
     val a = chunks.select(col("doc_id").as("a"), col("sim").as("sim_a"),
@@ -103,8 +101,8 @@ object DedupQueries {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         Hashing.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= 7) // cut candidates BEFORE the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= 7)
       .orderBy("a", "b")
   }
 

@@ -85,12 +85,17 @@ object TextQueries {
     val d = Tables.documents(s, dir)
     val hashes = Hashing.shingleHashes(
       T.wordNGrams(T.tokens(col("text")), 3))
-    d.select(
-        col("doc_id"),
-        xxhash64(T.normText(col("text"))).as("content_hash"),
-        Hashing.kMinSketch(hashes, 8).as("kmin_sketch"),
-        Hashing.simHash64(Hashing.shingleHashes(T.tokens(col("text"))))
-          .as("simhash"))
+    val perRow = d.select(
+      col("doc_id"),
+      xxhash64(T.normText(col("text"))).as("content_hash"),
+      Hashing.kMinSketch(hashes, 8).as("kmin_sketch"))
+    val sims = Hashing.simHashes(
+      d.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1),
+      "doc_id", "toks")
+    perRow.join(sims, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("content_hash"), col("kmin_sketch"),
+        coalesce(col("simhash"), lit(0L)).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -88,10 +88,24 @@ object StreamingQueries {
       q.stop()
       q.awaitTermination()
     }
-    s.table(name)
+    materializeAndDrop(s, name)
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
       .orderBy("win_start", "event_type")
+  }
+
+  /** Snapshot a memory-sink table into a local DataFrame and drop the
+    * temp view, so finished streaming queries leave no session state
+    * behind (Verify/Bench run many queries in one session).
+    */
+  private def materializeAndDrop(s: SparkSession, name: String): DataFrame = {
+    val t = s.table(name)
+    val out = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(t.collect(): _*)),
+      t.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   // ---------------------------------------------------------------- q29
@@ -163,7 +177,7 @@ object StreamingQueries {
       q.stop()
       q.awaitTermination()
     }
-    s.table(name)
+    materializeAndDrop(s, name)
       .select(col("event_id"), col("province_id"),
         timestamp_micros(col("ts_us")).as("ts"), col("pay_amount"))
       .orderBy("event_id")
