@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bound per-query metadata retention: 46 queries in one session
+      // otherwise accumulate listener/state backlog that taxes later,
+      // shuffle-stage-heavy queries
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // toSeq.sortBy: fixed execution order + per-query progress on
@@ -17,6 +23,8 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      spark.catalog.clearCache()
+      System.gc() // stable baseline between queries (one shared session)
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -65,18 +65,8 @@ object ProbePerf {
     val joined = a.join(b, Seq("chunk_idx", "chunk")).filter(col("a") < col("b"))
     time("chunk_join_pairs")(joined.count())
 
-    time("q35_full")(SparkEntry.queries("q35_dedup_minhash")(spark, dir).count())
-    time("q36_full")(SparkEntry.queries("q36_dedup_simhash")(spark, dir).count())
-
-    // reproduce bench-order pollution: run the streaming queries first
-    time("q29_stream")(
-      SparkEntry.queries("q29_stream_range_state")(spark, dir).count())
-    System.err.println(
-      s"[probe] AQE after stream = ${spark.conf.get("spark.sql.adaptive.enabled")}")
-    time("q35_after_stream")(
-      SparkEntry.queries("q35_dedup_minhash")(spark, dir).count())
-    time("q36_after_stream")(
-      SparkEntry.queries("q36_dedup_simhash")(spark, dir).count())
+    for (i <- 1 to 5)
+      time(s"q35_run$i")(SparkEntry.queries("q35_dedup_minhash")(spark, dir).count())
     spark.stop()
   }
 }

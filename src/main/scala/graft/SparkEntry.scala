@@ -17,6 +17,8 @@ object SparkEntry {
       graft.queries.AnnQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.Extended.queries ++
+      graft.queries.Extended2.queries ++
+      graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables).
@@ -30,5 +32,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.AnnQueries.oracles ++
       graft.queries.Extended.oracles ++
+      graft.queries.Extended2.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

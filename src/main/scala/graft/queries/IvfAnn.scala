@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.CosineSim
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the standard
+  * 100 TB scale path for similarity search (SURVEY.md §2 q51).
+  *
+  * Index: k-means coarse quantizer (seeded → deterministic); every
+  * vector is assigned to its nearest centroid cell. Search: a query
+  * probes only its `nprobe` nearest cells — the corpus join is an
+  * equi-join on cell id over ~nprobe/k of the data, instead of a full
+  * scan. Exact cosine re-rank inside the probed cells.
+  *
+  * At real scale the assignment step is a one-time indexing job and
+  * the cell id becomes a partition/bucket column; the per-query work
+  * is then a pruned scan of nprobe partitions.
+  */
+object IvfAnn {
+
+  val K = 10       // neighbors returned
+  val Cells = 16   // coarse centroids
+  val NProbe = 4   // cells probed per query
+
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(Cells).setSeed(7L).setFeaturesCol("features")
+      .setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // Query → nprobe nearest cells (tiny: |queries| × Cells, driver-side)
+    val centers = model.clusterCenters.map(_.toArray)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dist2(x: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(x.length, c.length)) {
+        val t = x(i) - c(i); d += t * t; i += 1
+      }
+      d
+    }
+    val probes = for {
+      (qid, qv) <- queries.toSeq
+      cell <- centers.zipWithIndex
+        .map { case (c, i) => (dist2(qv, c), i) }
+        .sortBy(_._1).take(NProbe).map(_._2)
+    } yield (qid, cell)
+    import s.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val queryEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(probeDf), Seq("cell")) // prune to probed cells
+      .join(broadcast(queryEmb), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        CosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_ann_ivf" -> (q51 _))
+}

@@ -105,6 +105,10 @@ object StreamingQueries {
         java.util.Arrays.asList(t.collect(): _*)),
       t.schema)
     s.catalog.dropTempView(name)
+    // Evict cached state-store providers (q29's keeps the whole event
+    // buffer of the last batch in memory): a finished stream must not
+    // tax later batch queries sharing the session/heap.
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
     out
   }
 
@@ -183,9 +187,35 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q47
+  /** Streaming deduplication: `dropDuplicates` over the key columns —
+    * the streaming form of exact dedup (state = one bit per key,
+    * bounded by a watermark in production). Oracle: batch DISTINCT,
+    * which a drained stream must equal.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q47_sink_${System.nanoTime()}"
+    val deduped = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    materializeAndDrop(s, name).orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stream_tumble"      -> (q28 _),
-    "q29_stream_range_state" -> (q29 _))
+    "q29_stream_range_state" -> (q29 _),
+    "q47_stream_dedup"       -> (q47 _))
 
   /** Streaming results are asserted identical to their batch forms, so
     * they reuse the batch oracle SQL (q27 / q20 shapes).
@@ -202,5 +232,8 @@ object StreamingQueries {
         |       (PARTITION BY user_id ORDER BY ts
         |        RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING AND CURRENT ROW)
         |       AS DOUBLE) AS pay_amount
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q47_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }

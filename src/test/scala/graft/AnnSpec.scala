@@ -51,6 +51,19 @@ class AnnSpec extends AnyFunSuite {
     got.foreach { case (q, ids) => assert(ids === bruteTopK(q), s"query $q") }
   }
 
+  test("q51 IVF ANN: recall@10 vs brute force is meaningfully above random") {
+    val got = SparkEntry.queries("q51_ann_ivf")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = bruteTopK.map { case (q, truth) =>
+      got.get(q).map(c => truth.count(c.contains).toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe/cells = 4/16 of the corpus scanned; embeddings are noise
+    // so recall ≈ coverage fraction; require clearly above random-10.
+    assert(mean >= 0.15, f"mean recall@10 = $mean%.3f")
+  }
+
   test("q40 LSH ANN: recall@10 vs brute force is meaningfully above random") {
     val got = SparkEntry.queries("q40_ann_lsh")(spark, sf).collect()
       .groupBy(_.getAs[Long]("query_id"))
