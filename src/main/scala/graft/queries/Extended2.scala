@@ -81,13 +81,37 @@ object Extended2 {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Sliding event-time windows (2 h length, 30 min slide): each event
+    * lands in 4 overlapping windows. Oracle reconstructs Spark's
+    * aligned window-start set arithmetically (starts ≡ 0 mod slide in
+    * (ts-2h, ts]).
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+
+  private val q52Sql =
+    """SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - i * 1800) AS TIMESTAMP) AS win_start,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS i)
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_pivot"  -> (q48 _),
     "q49_arrays" -> (q49 _),
-    "q50_cube"   -> (q50 _))
+    "q50_cube"   -> (q50 _),
+    "q52_sliding_window" -> (q52 _))
 
   val oracles: Map[String, String] = Map(
     "q48_pivot"  -> q48Sql,
     "q49_arrays" -> q49Sql,
-    "q50_cube"   -> q50Sql)
+    "q50_cube"   -> q50Sql,
+    "q52_sliding_window" -> q52Sql)
 }
