@@ -68,9 +68,13 @@ object DedupQueries {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+    // shuffle_hash (not broadcast): broadcast builds the relation
+    // single-threaded on the DRIVER — a bottleneck we measured (minutes
+    // of idle executors in long sessions) and a known scale hazard;
+    // the shuffled hash join keeps the build distributed.
     val sa = withShingles.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
     val sb = withShingles.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
-    cands.join(sa, "a").join(sb, "b")
+    cands.join(sa.hint("shuffle_hash"), "a").join(sb.hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -97,7 +101,7 @@ object DedupQueries {
       col("chunk_idx"), col("chunk"))
     val b = chunks.select(col("doc_id").as("b"), col("sim").as("sim_b"),
       col("chunk_idx"), col("chunk"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+    a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk")) // see q35 note
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         Hashing.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
@@ -123,7 +127,7 @@ object DedupQueries {
         Hashing.shingleHashes(col("grams")), 4)).as("minkey"))
     val a = keyed.select(col("doc_id").as("a"), col("grams").as("g_a"), col("minkey"))
     val b = keyed.select(col("doc_id").as("b"), col("grams").as("g_b"), col("minkey"))
-    a.join(b, "minkey")
+    a.join(b.hint("shuffle_hash"), "minkey") // see q35 note
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
@@ -149,7 +153,7 @@ object DedupQueries {
       col("tbl"), col("code"))
     val b = coded.select(col("vec_id").as("b"), col("embedding").as("e_b"),
       col("tbl"), col("code"))
-    a.join(b, Seq("tbl", "code"))
+    a.join(b.hint("shuffle_hash"), Seq("tbl", "code")) // see q35 note
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), CosineSim(col("e_a"), col("e_b")).as("cos"))
       .distinct()
