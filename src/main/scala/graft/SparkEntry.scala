@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.Extended.queries ++
       graft.queries.Extended2.queries ++
+      graft.queries.Extended3.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.AnnQueries.oracles ++
       graft.queries.Extended.oracles ++
       graft.queries.Extended2.oracles ++
+      graft.queries.Extended3.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

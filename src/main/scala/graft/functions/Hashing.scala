@@ -24,7 +24,7 @@ object Hashing {
     * Z/(2^31-1). Seeds are fixed so signatures are deterministic
     * across runs/partitions.
     */
-  private def affineSeeds(k: Int): (Seq[Long], Seq[Long]) = {
+  private[functions] def affineSeeds(k: Int): (Seq[Long], Seq[Long]) = {
     val rnd = new java.util.Random(0x5EED5EEDL)
     val a = Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong)
     val b = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
@@ -38,48 +38,34 @@ object Hashing {
   /** MinHash signatures as a DataFrame stage: (id, shingles array) →
     * (id, sig array<long> of length k).
     *
-    * Shape matters for scale: explode the shingles ONCE and compute
-    * the k permutation-minima as k grouped MIN aggregates — all
-    * whole-stage-codegen'd with map-side partial aggregation, so the
-    * shuffle carries only k longs per doc and the text pipeline runs
-    * exactly once per shingle. (The tempting nested-HOF form
-    * `transform(0..k, i -> array_min(transform(hashes, ...)))`
-    * re-evaluates the inner array per outer element — k× the whole
-    * tokenize/hash pipeline per ROW — and falls out of codegen.)
+    * One native scalar expression per row ([[MinHashSig]]): a
+    * signature is a pure function of the shingle set, so it runs
+    * map-side with zero shuffle and no aggregation state. (Round 1
+    * used explode + k grouped MIN aggregates — correct, but it
+    * shuffled a row per shingle and a 128-buffer HashAggregate costs
+    * ~16 s of one-time codegen/JIT; the nested-HOF form is worse
+    * still, re-evaluating the inner array per outer element,
+    * interpreted.) Values are bit-identical across all three shapes.
     */
   def minHashSignatures(df: DataFrame, idCol: String, shinglesCol: String,
       k: Int = 128): DataFrame = {
-    val (a, b) = affineSeeds(k)
-    val exploded = df
-      .select(col(idCol), explode(col(shinglesCol)).as("_sh"))
-      .select(col(idCol), pmod(xxhash64(col("_sh")), lit(MinHashPrime)).as("_h"))
-    val mins = (0 until k).map(i =>
-      min(pmod(col("_h") * a(i) + b(i), lit(MinHashPrime))).as(s"_m$i"))
-    exploded
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    import org.apache.spark.sql.GraftSqlBridge
+    df.select(col(idCol),
+        GraftSqlBridge.column(
+          MinHashSig(GraftSqlBridge.expression(col(shinglesCol)), k)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** SimHash codes as a DataFrame stage: (id, shingles array) →
-    * (id, simhash long). Same explode+groupBy shape as
-    * [[minHashSignatures]]: 64 conditional-SUM aggregates (±1 per
-    * bit), then the bits packed into one long.
+    * (id, simhash long). Same shape as [[minHashSignatures]]: one
+    * native per-row expression ([[SimHashSig]]), map-side, no shuffle.
     */
   def simHashes(df: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(col(shinglesCol)).as("_sh"))
-      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
-    val sums = BitMasks.zipWithIndex.map { case (m, i) =>
-      sum(when(col("_h").bitwiseAND(m) =!= 0, 1L).otherwise(-1L)).as(s"_b$i")
-    }
-    val packed = BitMasks.zipWithIndex.map { case (m, i) =>
-      when(col(s"_b$i") >= 0, m).otherwise(0L)
-    }.reduce((x, y) => x.bitwiseOR(y))
-    exploded
-      .groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol), packed.as("simhash"))
+    import org.apache.spark.sql.GraftSqlBridge
+    df.select(col(idCol),
+        GraftSqlBridge.column(
+          SimHashSig(GraftSqlBridge.expression(col(shinglesCol)))).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** LSH band keys: hash of each r-row slice of the signature
@@ -90,8 +76,6 @@ object Hashing {
     transform(
       sequence(lit(0), lit(bands - 1)),
       j => xxhash64(slice(sig, j * rows + 1, lit(rows))))
-
-  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
 
   /** 8-bit chunks of a SimHash. Two codes within Hamming distance 7
     * must agree on ≥1 of 8 chunks (pigeonhole) → exact-match blocking

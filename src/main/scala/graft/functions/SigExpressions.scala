@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row signature kernels (MinHash / SimHash) over a
+  * shingle array.
+  *
+  * A document signature is a pure scalar function of its shingle set,
+  * so it belongs in the map stage as ONE expression — not as an
+  * explode + k grouped aggregates (round-1's shape, which shuffled an
+  * exploded row per shingle and spent ~16 s of one-time codegen/JIT on
+  * a 128-buffer HashAggregate), and not as nested HOFs (which
+  * re-evaluate the inner array per outer element, interpreted). The
+  * plain-Java double loop below is ~shingles × k long-ops per row
+  * (µs), keeps the whole dedup blocking pipeline shuffle-free until
+  * the (id, band-key) explode, and needs no aggregation state at all.
+  *
+  * Hash parity: per-shingle base hash is Spark's own `xxhash64` (seed
+  * 42, via catalyst XXH64), and the affine permutation / bit-vote
+  * arithmetic replicates the previous aggregate formulation
+  * bit-for-bit — signatures are byte-identical to round 2's, so specs
+  * and planted-pair semantics carry over unchanged.
+  */
+object SigExpressions {
+  /** Spark's xxhash64 default seed. */
+  val XxSeed = 42L
+}
+
+/** MinHash signature: `array<long>` of length k — min over shingles of
+  * the i-th affine permutation of the shingle hash, in Z/(2^31-1).
+  * Null for an empty shingle array (no signature ≙ the old explode
+  * pipeline emitting no rows for that doc).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val (pa, pb) = {
+    val (a, b) = Hashing.affineSeeds(k)
+    (a.toArray, b.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val p = Hashing.MinHashPrime
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      // pmod(xxhash64(s), p): 31-bit reduced hash → 62-bit products
+      val hm = java.lang.Math.floorMod(XXH64.hashUTF8String(s, SigExpressions.XxSeed), p)
+      var i = 0
+      while (i < k) {
+        val v = java.lang.Math.floorMod(hm * pa(i) + pb(i), p)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash code: 64-bit long — bit i set iff the Σ±1 vote of bit i
+  * over all shingle hashes is ≥ 0. Null for an empty shingle array.
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(j), SigExpressions.XxSeed)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var code = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) >= 0) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -38,7 +38,14 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpePattern), lit(0)))
 
-  /** Word n-grams (as strings) over the token array. */
+  /** Word n-grams (as strings) over the token array.
+    *
+    * CALLER CONTRACT: pass a BOUND attribute (a column materialized by
+    * a prior select), not a raw expression like `tokens(col("text"))`
+    * — the lambda body references `toks` per element, and an inline
+    * expression would re-evaluate its whole chain once per n-gram
+    * (interpreted, no CSE; measured 10× a bound pass at sf0.1).
+    */
   def wordNGrams(toks: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(-1))),

@@ -63,23 +63,30 @@ object AnnQueries {
     * bucket collisions in any table; exact cosine re-rank of the
     * (small) candidate set. Recall vs q39 asserted in AnnSpec.
     * Rows-only: approximate results have no SQL oracle.
+    *
+    * The dedup across tables runs on (query_id, neighbor_id) id pairs
+    * only — embeddings are re-attached after the distinct, so no
+    * exchange ever carries vector payloads (at 100 TB a distinct over
+    * embedding-carrying rows would shuffle the candidate vectors 4×).
     */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val coded = emb.select(col("vec_id"), col("embedding"),
+    val coded = emb.select(col("vec_id"),
       posexplode(Lsh.srpCodes(col("embedding"), tables = 4, bits = 6))
         .as(Seq("tbl", "code")))
     val queries = coded.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("tbl"), col("code"))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("code"))
     val cands = coded.join(broadcast(queries), Seq("tbl", "code"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("q_emb"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val queryEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands
+    emb.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(cands), Seq("neighbor_id")) // corpus pruned by id set
+      .join(broadcast(queryEmb), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         CosineSim(col("embedding"), col("q_emb")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)

@@ -2,24 +2,100 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{CosineSim, Hashing, TextFunctions => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family q34–q38 (SURVEY.md §2).
   *
   * Scale design: candidate generation always goes through an
   * exact-match blocking key (LSH band / SimHash chunk / hyperplane
-  * bucket) so the only shuffle is a hash join on small keys — never an
-  * all-pairs comparison. Oversized buckets are capped (identical-text
-  * floods degrade to exact dedup, which q34 already handles).
+  * bucket) so the only full-table shuffle is on small (id, key) rows —
+  * never an all-pairs comparison and NEVER the feature arrays
+  * (shingles / grams / embeddings). The verify stage fetches features
+  * for the candidate-id set only: candidates are bounded by the bucket
+  * cap (≤ buckets × C(MaxBucket,2)) and in practice by the corpus
+  * dup-rate, so the exchange feeding the verify join is sized by the
+  * number of near-dup candidates, not by the corpus.
   */
 object DedupQueries {
 
-  /** Max docs in one LSH bucket before it's dropped as degenerate
+  /** Max docs in one blocking bucket before it's dropped as degenerate
     * (exact-dup flood → q34's job; protects the pair join from
     * quadratic blowup and shuffle skew at scale).
     */
   val MaxBucket = 64
+
+  /** Fan a small-file scan out to the session's full parallelism
+    * before a compute-heavy map/partial-agg pipeline (signatures: one
+    * explode + 64-128 aggregate expressions per row). A 1-row-group
+    * parquet file yields a single scan split, which would serialize
+    * the whole signature stage onto one core (measured: the r3 bench
+    * watchdog caught 1 RUNNABLE task + 31 idle). At cluster scale a
+    * real corpus scan is already thousands of splits and the
+    * repartition branch never fires.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Expand capped buckets (`ids` array) into distinct candidate pairs
+    * (a < b). One aggregation shuffle of (key, id) rows, then per-row
+    * array expansion — no self-join, no feature arrays in flight.
+    */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("ids")).between(2, MaxBucket))
+      // AQE rightly coalesces the (tiny) bucket shuffle to ~1 post-
+      // shuffle partition — but the stage BELOW is the quadratic pair
+      // expansion, the pipeline's heavy compute. Spread the bucket
+      // rows back across the cluster first (explicit repartition is
+      // exempt from AQE coalescing; the exchange is bucket-sized).
+      .repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  /** Verify-stage feature fetch: prune the (big) feature table down to
+    * the candidate-id set with a broadcast join (ids only — provably
+    * small after the bucket cap), then attach both sides' features to
+    * the pairs. Both inputs of the final joins are candidate-sized, so
+    * broadcasting them is safe — the round-1 driver-stall hazard was
+    * broadcasting the FULL feature table, which this never does. If the
+    * candidate set ever outgrew broadcast at extreme scale, flip these
+    * hints to shuffle_hash; the exchange stays candidate-sized either
+    * way.
+    *
+    * The candidate-stage intermediates (`cands`, the id set, the
+    * pruned fetch) are MATERIALIZED via eager `localCheckpoint`, the
+    * in-session analog of the written intermediate table a production
+    * pipeline would use at this point. This is load-bearing twice
+    * over: (1) `cands` feeds three consumers, and without
+    * materialization each would re-run the entire blocking pipeline —
+    * measured at 3× the signature cost, the round-2 bench bomb;
+    * (2) checkpointing CUTS THE LINEAGE, so the downstream broadcast
+    * stages are plain leaf-RDD scans — a broadcast whose child is
+    * itself a multi-stage adaptive sub-plan (shuffle under exchange,
+    * lazy cache) intermittently deadlocks AQE's final-plan event loop
+    * until a timeout (measured 108-216 s vs ~4 s, ~50% of runs; the
+    * r2/r3 bench bimodality).
+    */
+  private def attachFeatures(cands0: DataFrame, feats: DataFrame,
+      idCol: String, featCol: String): DataFrame = {
+    val cands = cands0.localCheckpoint()
+    val candIds = cands.select(col("a").as(idCol))
+      .union(cands.select(col("b").as(idCol)))
+      .distinct().localCheckpoint()
+    val pruned = feats.join(broadcast(candIds), idCol).localCheckpoint()
+    cands
+      .join(broadcast(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
+      .join(broadcast(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
 
   // ---------------------------------------------------------------- q34
   /** Exact content dedup: canonical text → keeper (min doc_id) + copy
@@ -39,46 +115,38 @@ object DedupQueries {
       |       CAST(LENGTH(text) AS INT) AS text_len
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** Word-2-shingle sets (distinct), the feature for q35's verify. */
+  private def shingled2(s: SparkSession, dir: String): DataFrame =
+    fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
+
   // ---------------------------------------------------------------- q35
   /** MinHash(128) + LSH(16 bands × 8 rows) near-dup pairs, verified
     * with exact Jaccard ≥ 0.5 on word-2-shingle sets.
     *
     * Pipeline: per-doc signature (codegen, no shuffle) → explode the
-    * 16 band keys only → self-join on (band, key) → distinct pairs →
-    * verify with exact Jaccard. Band-key join input carries just
-    * (doc_id, band, key) — at 100 TB the text never shuffles; the
-    * verify join fetches shingle sets for the (tiny) candidate set.
+    * 16 band keys only → bucket by (band, key), cap, expand to pairs →
+    * verify with exact Jaccard over candidate-pruned shingle fetch.
+    * At 100 TB the text/shingles never shuffle: the blocking exchange
+    * carries (doc_id, band, key) and the verify exchange is sized by
+    * the candidate set. The shingle pipeline is recomputed for the
+    * pruned fetch instead of cached — a second scan-bound map pass
+    * beats materializing a corpus-sized array column.
     */
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val withShingles = docs
-      .withColumn("toks", T.tokens(col("text")))
-      .filter(size(col("toks")) >= 2)
-      .withColumn("shingles", array_distinct(T.wordNGrams(col("toks"), 2)))
-      .select(col("doc_id"), col("shingles"))
-    val sigs = Hashing.minHashSignatures(withShingles, "doc_id", "shingles", 128)
+    val sh = shingled2(s, dir)
+    val sigs = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
       .select(col("doc_id"),
         posexplode(Hashing.bandKeys(col("sig"), bands = 16, rows = 8))
           .as(Seq("band", "key")))
     val buckets = sigs
       .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
-    val cands = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-    // shuffle_hash (not broadcast): broadcast builds the relation
-    // single-threaded on the DRIVER — a bottleneck we measured (minutes
-    // of idle executors in long sessions) and a known scale hazard;
-    // the shuffled hash join keeps the build distributed.
-    val sa = withShingles.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
-    val sb = withShingles.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
-    cands.join(sa.hint("shuffle_hash"), "a").join(sb.hint("shuffle_hash"), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
+    val cands = bucketPairs(buckets)
+    attachFeatures(cands, sh, "doc_id", "shingles")
+      .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("a", "b")
   }
@@ -86,27 +154,39 @@ object DedupQueries {
   // ---------------------------------------------------------------- q36
   /** SimHash near-dup: 64-bit code per doc, Hamming ≤ 7 via 8×8-bit
     * chunk blocking (pigeonhole-exact: no candidate at distance ≤7 is
-    * missed) + `bit_count(xor)` verify.
+    * missed) + `bit_count(xor)` verify. Same ids-only blocking →
+    * candidate-pruned fetch shape as q35/q37/q38; a sim code is one
+    * long, so the fetch is an 8-byte-per-doc broadcast.
+    *
+    * Chunk-width note for scale: 8-bit chunks put ~N/256 docs in a
+    * bucket, so the expected candidate count grows ~N²/(8·256²) — fine
+    * for corpus shards, quadratic for a whole 100 TB corpus. There,
+    * chunk bits must track log₂(N) (wider chunks ⇒ Hamming guarantee
+    * drops to ⌊63/chunks⌋ by pigeonhole), or buckets re-shard through
+    * the MaxBucket cap as here.
     */
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val shingled = Tables.documents(s, dir)
+    // Bind `toks` as an attribute BEFORE the n-gram HOF: a lambda body
+    // referencing the raw tokenize expression re-evaluates the whole
+    // regex chain once per n-gram (measured ~10 s/pass at sf0.1 vs
+    // ~1 s bound).
+    val shingled = fanOut(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(T.wordNGrams(T.tokens(col("text")), 2)).as("shingles"))
+        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
       .filter(size(col("shingles")) >= 1)
     val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
       .select(col("doc_id"), col("simhash").as("sim"))
-    val chunks = docs.select(col("doc_id"), col("sim"),
+    val chunks = docs.select(col("doc_id"),
       posexplode(Hashing.simHashChunks(col("sim"))).as(Seq("chunk_idx", "chunk")))
-    val a = chunks.select(col("doc_id").as("a"), col("sim").as("sim_a"),
-      col("chunk_idx"), col("chunk"))
-    val b = chunks.select(col("doc_id").as("b"), col("sim").as("sim_b"),
-      col("chunk_idx"), col("chunk"))
-    a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk")) // see q35 note
-      .filter(col("a") < col("b"))
+    val buckets = chunks
+      .groupBy("chunk_idx", "chunk").agg(collect_list("doc_id").as("ids"))
+    val cands = bucketPairs(buckets)
+    attachFeatures(cands, docs, "doc_id", "sim")
       .select(col("a"), col("b"),
-        Hashing.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .filter(col("hamming") <= 7) // cut candidates BEFORE the distinct shuffle
-      .distinct()
+        Hashing.hamming64(col("f_a"), col("f_b")).as("hamming"))
+      .filter(col("hamming") <= 7)
       .orderBy("a", "b")
   }
 
@@ -117,23 +197,19 @@ object DedupQueries {
     * ~1-(1-j)^4 while keeping candidate generation an equi-join).
     */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("toks", T.tokens(col("text")))
+    val docs = fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("grams", array_distinct(T.wordNGrams(col("toks"), 3)))
-      .select(col("doc_id"), col("grams"))
-    val keyed = docs.select(col("doc_id"), col("grams"),
+      .select(col("doc_id"),
+        array_distinct(T.wordNGrams(col("toks"), 3)).as("grams"))
+    val keyed = docs.select(col("doc_id"),
       explode(Hashing.kMinSketch(
         Hashing.shingleHashes(col("grams")), 4)).as("minkey"))
-    val a = keyed.select(col("doc_id").as("a"), col("grams").as("g_a"), col("minkey"))
-    val b = keyed.select(col("doc_id").as("b"), col("grams").as("g_b"), col("minkey"))
-    a.join(b.hint("shuffle_hash"), "minkey") // see q35 note
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
-          .as("jaccard"))
-      .distinct()
+    val buckets = keyed
+      .groupBy("minkey").agg(collect_list("doc_id").as("ids"))
+    val cands = bucketPairs(buckets)
+    attachFeatures(cands, docs, "doc_id", "grams")
+      .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("a", "b")
   }
@@ -145,18 +221,14 @@ object DedupQueries {
     */
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val coded = emb.select(col("vec_id"), col("embedding"),
+    val coded = emb.select(col("vec_id"),
       posexplode(Lsh.srpCodes(col("embedding"), tables = 8, bits = 8))
         .as(Seq("tbl", "code")))
-      .select(col("vec_id"), col("embedding"), col("tbl"), col("code"))
-    val a = coded.select(col("vec_id").as("a"), col("embedding").as("e_a"),
-      col("tbl"), col("code"))
-    val b = coded.select(col("vec_id").as("b"), col("embedding").as("e_b"),
-      col("tbl"), col("code"))
-    a.join(b.hint("shuffle_hash"), Seq("tbl", "code")) // see q35 note
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), CosineSim(col("e_a"), col("e_b")).as("cos"))
-      .distinct()
+    val buckets = coded
+      .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
+    val cands = bucketPairs(buckets)
+    attachFeatures(cands, emb, "vec_id", "embedding")
+      .select(col("a"), col("b"), CosineSim(col("f_a"), col("f_b")).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("a", "b")
   }
@@ -168,6 +240,35 @@ object DedupQueries {
     "q37_ngram_jaccard"   -> (q37 _),
     "q38_dedup_embedding" -> (q38 _))
 
+  /** q35/q37 get brute-force pair oracles: at verify-scale (sf0.01,
+    * 500 docs) DuckDB can compute all-pairs Jaccard exactly, and the
+    * testdata's similarity gap (planted pairs ≈0.99, background <0.3)
+    * puts LSH recall at 1 for every above-threshold pair, so the
+    * blocked result equals the brute-force result. q36/q38 have no SQL
+    * oracle: their codes derive from xxhash64 / seeded Gaussian
+    * hyperplanes, which DuckDB cannot reproduce — DedupSpec asserts
+    * their planted-pair semantics instead.
+    */
+  private val tokSql =
+    """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+
+  private def gramJaccardSql(n: Int, thresh: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokSql AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |           i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS f
+       |  FROM toks WHERE len(toks) >= $n)
+       |SELECT * FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         CAST(len(list_intersect(x.f, y.f)) AS DOUBLE) /
+       |         CAST(len(list_distinct(list_concat(x.f, y.f))) AS DOUBLE) AS jaccard
+       |  FROM feats x JOIN feats y ON x.doc_id < y.doc_id)
+       |WHERE jaccard >= $thresh ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q34_dedup_exact" -> q34Sql)
+    "q34_dedup_exact"   -> q34Sql,
+    "q35_dedup_minhash" -> gramJaccardSql(2, 0.5),
+    "q37_ngram_jaccard" -> gramJaccardSql(3, 0.3))
 }

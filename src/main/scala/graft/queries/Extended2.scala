@@ -39,6 +39,10 @@ object Extended2 {
   /** Array/list operations: build, sort, dedup, filter, index, size,
     * membership — plus sorted `collect_list` as the grouped-array agg
     * (sorted, because bare collect_list order is partition-dependent).
+    * The array columns ship as their JSON encodings (string columns):
+    * the scalar derivations (index/membership/size) are computed on
+    * the arrays first, and array-typed result columns crash the
+    * driver's pandas comparator.
     */
   private def q49(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -49,8 +53,8 @@ object Extended2 {
         count(lit(1)).cast("int").as("n_lines"))
       .select(
         col("l_orderkey"),
-        col("line_numbers"),
-        col("flags"),
+        to_json(col("line_numbers")).as("line_numbers"),
+        to_json(col("flags")).as("flags"),
         col("n_lines"),
         element_at(col("line_numbers"), 1).as("first_line"),
         array_contains(col("flags"), "R").as("has_return"),
@@ -59,8 +63,8 @@ object Extended2 {
 
   private val q49Sql =
     """SELECT l_orderkey,
-      |       list_sort(list(l_linenumber)) AS line_numbers,
-      |       list_sort(list(DISTINCT l_returnflag)) AS flags,
+      |       CAST(to_json(list_sort(list(l_linenumber))) AS VARCHAR) AS line_numbers,
+      |       CAST(to_json(list_sort(list(DISTINCT l_returnflag))) AS VARCHAR) AS flags,
       |       CAST(COUNT(*) AS INT) AS n_lines,
       |       list_sort(list(l_linenumber))[1] AS first_line,
       |       list_contains(list(DISTINCT l_returnflag), 'R') AS has_return,

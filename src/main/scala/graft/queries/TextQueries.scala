@@ -80,15 +80,21 @@ object TextQueries {
   // ---------------------------------------------------------------- q33
   /** Document fingerprinting: full-content hash + k-min-values sketch
     * of word 3-grams (winnowing-style). Deterministic; rows-only.
+    * The sketch is emitted as its JSON encoding (a string column):
+    * array-typed result columns crash the driver's pandas comparator,
+    * and a fingerprint's wire format is a string anyway.
     */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val hashes = Hashing.shingleHashes(
-      T.wordNGrams(T.tokens(col("text")), 3))
-    val perRow = d.select(
-      col("doc_id"),
-      xxhash64(T.normText(col("text"))).as("content_hash"),
-      Hashing.kMinSketch(hashes, 8).as("kmin_sketch"))
+    // Bind `toks` as an attribute before the n-gram HOF (a lambda over
+    // the raw tokenize expression re-runs the regex chain per n-gram).
+    val hashes = Hashing.shingleHashes(T.wordNGrams(col("toks"), 3))
+    val perRow = d
+      .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        xxhash64(T.normText(col("text"))).as("content_hash"),
+        to_json(Hashing.kMinSketch(hashes, 8)).as("kmin_sketch"))
     val sims = Hashing.simHashes(
       d.select(col("doc_id"), T.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 1),

@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 /** Structured Streaming re-expression of the reference's execution
-  * model (SURVEY.md §2 q28–q29): schema'd stream source → event-time
-  * windowed / stateful transform → sink.
+  * model (SURVEY.md §2 q28–q29, q47, q57): schema'd stream source →
+  * event-time windowed / stateful transform → sink.
   *
   * Reference: `/root/reference/window_aggregation.py` — Kafka JSON
   * source with a 15 s watermark, per-message trailing 10 s RANGE-window
@@ -63,25 +63,27 @@ object StreamingQueries {
   def toJsonSink(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
-  // ---------------------------------------------------------------- q28
-  /** Tumbling event-time window aggregation executed as a REAL
-    * streaming query (file source → complete-mode memory sink), then
-    * returned as a DataFrame. Deterministic: `processAllAvailable`
-    * drains the source, complete mode emits full state. Oracle = the
-    * batch q27 SQL — stream/batch parity is the semantic claim.
+  /** Start `df` into a memory sink, drain the source, snapshot the
+    * sink table, and tear everything down (shared session hygiene).
     */
-  def q28(s: SparkSession, dir: String): DataFrame = {
-    val name = s"q28_sink_${System.nanoTime()}"
-    val agged = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
-    val q = agged.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .start()
+  private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
+      mode: OutputMode): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    // Stateful operators allocate one state store per shuffle
+    // partition per operator; for these bounded demo streams the
+    // per-store setup/commit overhead dominates at 32 partitions, so
+    // cap the stream's partitioning (the conf is fixed into the
+    // query's checkpoint at start; restored for batch queries after).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.min(8, prev.toInt).toString)
+        df.writeStream.outputMode(mode).format("memory")
+          .queryName(name).start()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     try {
       q.processAllAvailable()
     } finally {
@@ -89,9 +91,6 @@ object StreamingQueries {
       q.awaitTermination()
     }
     materializeAndDrop(s, name)
-      .select(col("win.start").as("win_start"), col("event_type"),
-        col("n"), col("total"))
-      .orderBy("win_start", "event_type")
   }
 
   /** Snapshot a memory-sink table into a local DataFrame and drop the
@@ -112,76 +111,119 @@ object StreamingQueries {
     out
   }
 
+  // ---------------------------------------------------------------- q28
+  /** Tumbling event-time window aggregation executed as a REAL
+    * streaming query (file source → complete-mode memory sink), then
+    * returned as a DataFrame. Deterministic: `processAllAvailable`
+    * drains the source, complete mode emits full state. Oracle = the
+    * batch q27 SQL — stream/batch parity is the semantic claim.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val agged = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    runToSnapshot(s, agged, "q28_sink", OutputMode.Complete)
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+  }
+
   // ---------------------------------------------------------------- q29
   /** The reference flagship as a STATEFUL stream: per event, the
     * trailing 10 s per-key sum (window_aggregation.py:75-82), via
     * `flatMapGroupsWithState` with a per-key event buffer.
     *
-    * State design for scale: the buffer holds only events inside the
-    * trailing window span behind the newest processed event (plus
-    * allowed lateness), evicted each batch — state is O(keys ×
-    * window-rate), independent of stream length. Late events emit
-    * their own correct window (events ≤ their timestamp) and
-    * retro-extend sums of previously-emitted events only within the
-    * same batch, matching the batch RANGE-window semantics when the
-    * source drains in one batch (asserted against q20 in
-    * StreamingSpec; oracle = q20 SQL).
+    * State design for scale (watermark-driven lifecycle, mirroring the
+    * reference's 15 s allowed delay, window_aggregation.py:48-50):
+    *  - the buffer holds only events within (window span + allowed
+    *    delay) behind the newest processed event of the key — so an
+    *    in-delay late event still finds every batch-mate its trailing
+    *    window needs. State is O(keys × window-rate), independent of
+    *    stream length.
+    *  - idle keys expire via `EventTimeTimeout`: once the watermark
+    *    passes the key's horizon (newest event + window + delay),
+    *    nothing the buffer holds can affect any admissible future
+    *    event, and the key's state is removed — no idle-key leak.
+    *  - emission is immediate (per incoming event, reference
+    *    semantics). A late event emits its own correct window and
+    *    retro-extends earlier events only within the same batch;
+    *    cross-batch parity with the batch RANGE window therefore holds
+    *    when batches arrive in event-time order (late events within
+    *    the delay included) — asserted across ≥3 real micro-batches in
+    *    StreamingSpec.
     */
-  def q29(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val name = s"q29_sink_${System.nanoTime()}"
-    val windowMicros = 10000000L // 10 s, matching the reference interval
+  val RangeWindowMicros = 10000000L  // 10 s, the reference interval
+  val AllowedDelayMicros = 15000000L // 15 s, the reference watermark
 
-    val typed = eventsStream(s, dir)
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("value"))
-      .as[(Long, Long, Long, Double)]
+  /** Source-agnostic core transform: any events-shaped stream
+    * (event_id, ts timestamp, user_id, value) → per-event trailing
+    * 10 s per-key sum.
+    */
+  def rangeStateTransform(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+
+    // Keep `ts` a timestamp column through to the stateful operator:
+    // the EventTimeTimeout check needs the watermarked event-time
+    // attribute present in the child plan.
+    val typed = events
+      .withWatermark("ts", "15 seconds")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
 
     // Exact-decimal sum matching `CAST(SUM(CAST(v AS DECIMAL(18,2))) AS
     // DOUBLE)` on both engines of the oracle pair.
     def d2(v: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
 
-    val out = typed
+    typed
       .groupByKey(_._2)
       .flatMapGroupsWithState[List[(Long, Long, Double)], (Long, Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
          state: GroupState[List[(Long, Long, Double)]]) =>
-          val buffered = state.getOption.getOrElse(Nil)
-          val incoming = rows.map(r => (r._1, r._3, r._4)).toList
-          val all = (buffered ++ incoming).sortBy(e => (e._2, e._1))
-          // Emit one result per *incoming* event: sum over all events of
-          // this key with ts in [ts_e - 10 s, ts_e].
-          val newIds = incoming.map(_._1).toSet
-          val results = all.iterator.filter(e => newIds.contains(e._1)).map {
-            case (id, ts, _) =>
-              val lo = ts - windowMicros
-              val sum = all.iterator
-                .filter(e => e._2 >= lo && e._2 <= ts)
-                .foldLeft(java.math.BigDecimal.ZERO)((acc, e) => acc.add(d2(e._3)))
-              (id, key, ts, sum.doubleValue)
-          }.toList
-          // Evict state older than the newest event minus the window
-          // span (single-source-of-truth for the trailing window).
-          val horizon = if (all.nonEmpty) all.map(_._2).max - windowMicros else 0L
-          state.update(all.filter(_._2 >= horizon))
-          results.iterator
+          if (state.hasTimedOut) {
+            // Watermark passed newest-event + window + delay: no
+            // admissible future event can reach into this buffer.
+            state.remove()
+            Iterator.empty
+          } else {
+            val buffered = state.getOption.getOrElse(Nil)
+            val incoming = rows.map(r => (r._1, micros(r._3), r._4)).toList
+            val all = (buffered ++ incoming).sortBy(e => (e._2, e._1))
+            // Emit one result per *incoming* event: sum over all events
+            // of this key with ts in [ts_e - 10 s, ts_e].
+            val newIds = incoming.map(_._1).toSet
+            val results = all.iterator.filter(e => newIds.contains(e._1)).map {
+              case (id, ts, _) =>
+                val lo = ts - RangeWindowMicros
+                val sum = all.iterator
+                  .filter(e => e._2 >= lo && e._2 <= ts)
+                  .foldLeft(java.math.BigDecimal.ZERO)((acc, e) => acc.add(d2(e._3)))
+                (id, key, ts, sum.doubleValue)
+            }.toList
+            // Evict events no in-delay late event could still window
+            // over; expire the whole key once the watermark passes the
+            // same horizon.
+            val newest = if (all.nonEmpty) all.map(_._2).max else 0L
+            val horizon = newest - RangeWindowMicros - AllowedDelayMicros
+            state.update(all.filter(_._2 >= horizon))
+            state.setTimeoutTimestamp(
+              (newest + RangeWindowMicros + AllowedDelayMicros) / 1000L + 1L)
+            results.iterator
+          }
       }
       .toDF("event_id", "province_id", "ts_us", "pay_amount")
+  }
 
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      q.awaitTermination()
-    }
-    materializeAndDrop(s, name)
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val out = rangeStateTransform(s, eventsStream(s, dir))
+    runToSnapshot(s, out, "q29_sink", OutputMode.Append)
       .select(col("event_id"), col("province_id"),
         timestamp_micros(col("ts_us")).as("ts"), col("pay_amount"))
       .orderBy("event_id")
@@ -194,31 +236,51 @@ object StreamingQueries {
     * which a drained stream must equal.
     */
   def q47(s: SparkSession, dir: String): DataFrame = {
-    val name = s"q47_sink_${System.nanoTime()}"
     val deduped = eventsStream(s, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      q.awaitTermination()
-    }
-    materializeAndDrop(s, name).orderBy("user_id", "event_type")
+    runToSnapshot(s, deduped, "q47_sink", OutputMode.Append)
+      .orderBy("user_id", "event_type")
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** Stream-stream inner join: clicks joined to the purchases that
+    * follow them within 24 h for the same user — two independently
+    * watermarked streams, equi-key plus event-time range condition.
+    * The range bound + watermarks let the engine expire join state
+    * (each side retains ~range + delay of events, not the stream);
+    * an unbounded-state stream-stream join would be a non-starter at
+    * scale. Oracle: the equivalent batch self-join.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "15 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 24 hours"""))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+    runToSnapshot(s, joined, "q57_sink", OutputMode.Append)
+      .orderBy("click_id", "purchase_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stream_tumble"      -> (q28 _),
     "q29_stream_range_state" -> (q29 _),
-    "q47_stream_dedup"       -> (q47 _))
+    "q47_stream_dedup"       -> (q47 _),
+    "q57_stream_stream_join" -> (q57 _))
 
   /** Streaming results are asserted identical to their batch forms, so
-    * they reuse the batch oracle SQL (q27 / q20 shapes).
+    * they reuse the batch oracle SQL (q27 / q20 / join shapes).
     */
   val oracles: Map[String, String] = Map(
     "q28_stream_tumble" ->
@@ -235,5 +297,13 @@ object StreamingQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q47_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q57_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
+        |ORDER BY click_id, purchase_id""".stripMargin)
 }

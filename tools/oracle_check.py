@@ -10,6 +10,7 @@ we can tell ordering bugs from value bugs.
 """
 import sys, json, glob, os, hashlib
 import duckdb
+import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
@@ -33,6 +34,27 @@ def table_repr(cols, rows):
     return [tuple(canon(r[i]) for i in order) for r in rows]
 
 fails = []
+
+# Driver-compat pass: the driver compares via pandas, which dies with
+# "unhashable type: 'numpy.ndarray'" on array-typed result columns —
+# even for rows-only (no-oracle) queries. Mirror that here over EVERY
+# spark output dir so rehearsal catches the class (q33/q49 regression).
+for spark_dir in sorted(glob.glob(f"{out_dir}/*")):
+    q = os.path.basename(spark_dir)
+    if not os.path.isdir(spark_dir):
+        continue
+    try:
+        df = pd.concat([pd.read_parquet(p)
+                        for p in glob.glob(f"{spark_dir}/*.parquet")])
+        for row in df.head(5).itertuples(index=False):
+            hash(tuple(row))
+    except TypeError as e:
+        print(f"{q}: DRIVER-COMPAT FAIL (pandas hash): {e}")
+        fails.append(q)
+    except Exception as e:
+        print(f"{q}: DRIVER-COMPAT ERROR: {e}")
+        fails.append(q)
+
 for q in sorted(oracle):
     spark_dir = f"{out_dir}/{q}"
     if not os.path.isdir(spark_dir):
