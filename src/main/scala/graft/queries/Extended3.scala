@@ -112,15 +112,58 @@ object Extended3 {
       |  FROM documents)
       |GROUP BY token ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Skew-mitigated aggregation over a deliberately hot key:
+    * `event_type` has a handful of values over the whole events
+    * table, so a naive exact-COUNT(DISTINCT)/heavy-state agg lands
+    * each type's entire data on one reducer. Two skew templates:
+    *
+    *  - exact distinct users: pre-distinct on the COMPOSITE key
+    *    (type, user) — that shuffle is spread across the cluster by
+    *    the user dimension — then the per-type count aggregates a
+    *    distinct-sized input;
+    *  - salted two-phase sum/count: explicit 32-way salt on the first
+    *    shuffle, merge partials on the bare key. (For algebraic aggs
+    *    Spark's map-side partial agg already achieves this; the salt
+    *    column is the template for non-algebraic per-key state —
+    *    collect_list/UDAF buffers — where partial agg can't save you.)
+    *
+    * Exact-decimal sums so the salted merge is bit-equal to the
+    * oracle's single-pass SUM.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    val users = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val salted = ev
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(32)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("ps"),
+        count(lit(1)).as("pc"))
+      .groupBy("event_type")
+      .agg(sum(col("ps")).cast("double").as("total"), sum(col("pc")).as("n"))
+    users.join(salted, Seq("event_type")).orderBy("event_type")
+  }
+
+  private val q58Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_join_full_outer" -> (q53 _),
     "q54_join_right"      -> (q54 _),
     "q55_set_ops"         -> (q55 _),
-    "q56_explode"         -> (q56 _))
+    "q56_explode"         -> (q56 _),
+    "q58_skew_agg"        -> (q58 _))
 
   val oracles: Map[String, String] = Map(
     "q53_join_full_outer" -> q53Sql,
     "q54_join_right"      -> q54Sql,
     "q55_set_ops"         -> q55Sql,
-    "q56_explode"         -> q56Sql)
+    "q56_explode"         -> q56Sql,
+    "q58_skew_agg"        -> q58Sql)
 }

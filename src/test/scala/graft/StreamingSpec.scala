@@ -29,42 +29,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
-  test("q29 transform is batch-exact across >=3 micro-batches incl. in-delay late events") {
+  /** Three time-split micro-batches; batch 2 carries a LATE event
+    * (key B, ts=90s) that is within the 15 s allowed delay of the
+    * post-batch-1 watermark (84s-15s=69s) and whose trailing window
+    * reaches back into batch-1 events — the cross-batch buffer must
+    * serve it. (ts in seconds → micros below.)
+    */
+  private val eventBatches = Seq(
+    Seq((1L, 10L, 1L, 1.0), (2L, 18L, 1L, 2.0), (3L, 50L, 1L, 4.0),
+      (4L, 80L, 2L, 8.0), (5L, 84L, 2L, 16.0)),
+    Seq((6L, 110L, 1L, 32.0), (7L, 90L, 2L, 64.0)), // 7 is late
+    Seq((8L, 205L, 1L, 128.0), (9L, 200L, 2L, 256.0)))
+
+  /** Write batch `i` as one parquet file into the streaming source
+    * dir, mtime-ordered so the file source picks them up in order.
+    */
+  private def writeBatchFile(dir: java.io.File, i: Int,
+      rows: Seq[(Long, Long, Long, Double)]): Unit = {
     import spark.implicits._
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory(s"graft_mb_part$i").toString
+    rows.toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("user_id"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(dir, f"batch$i%02d.parquet")
+    Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(1000000L * (i + 1)) // force source file order
+  }
+
+  /** Batch truth for `eventBatches`: trailing 10 s RANGE window. */
+  private def rangeWindowTruth: Set[Seq[Any]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = eventBatches.flatten.toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), col("user_id"),
+        (col("ts_s") * 1000000L).as("ts_us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-10000000L, 0L)
+    all.select(col("event_id"), col("user_id").as("province_id"), col("ts_us"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double").as("pay_amount"))
+      .collect().map(_.toSeq).toSet
+  }
+
+  private def eventsFileStream(dir: java.io.File) = {
     import org.apache.spark.sql.types._
-    import java.nio.file.{Files, Paths}
-
-    // Three time-split micro-batches; batch 2 carries a LATE event
-    // (key B, ts=90s) that is within the 15 s allowed delay of the
-    // post-batch-1 watermark (84s-15s=69s) and whose trailing window
-    // reaches back into batch-1 events — the cross-batch buffer must
-    // serve it. (ts in seconds → micros below.)
-    val batches = Seq(
-      Seq((1L, 10L, 1L, 1.0), (2L, 18L, 1L, 2.0), (3L, 50L, 1L, 4.0),
-        (4L, 80L, 2L, 8.0), (5L, 84L, 2L, 16.0)),
-      Seq((6L, 110L, 1L, 32.0), (7L, 90L, 2L, 64.0)), // 7 is late
-      Seq((8L, 205L, 1L, 128.0), (9L, 200L, 2L, 256.0)))
-
-    val dir = Files.createTempDirectory("graft_mb_stream").toFile
-    dir.deleteOnExit()
-    batches.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = Files.createTempDirectory(s"graft_mb_part$i").toString
-      rows.toDF("event_id", "ts_s", "user_id", "value")
-        .select(col("event_id"), timestamp_seconds(col("ts_s")).as("ts"),
-          col("user_id"), col("value"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(dir, f"batch$i%02d.parquet")
-      Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000L * (i + 1)) // force source file order
-    }
-
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("value", DoubleType)))
-    val src = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+  }
+
+  test("q29 transform is batch-exact across >=3 micro-batches incl. in-delay late events") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mb_stream").toFile
+    dir.deleteOnExit()
+    eventBatches.zipWithIndex.foreach { case (rows, i) => writeBatchFile(dir, i, rows) }
+
+    val src = eventsFileStream(dir)
     val out = graft.streaming.StreamingQueries.rangeStateTransform(spark, src)
     val name = s"mb_sink_${System.nanoTime()}"
     val q = out.writeStream.outputMode("append").format("memory")
@@ -84,20 +110,70 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id", "province_id", "ts_us", "pay_amount")
       .collect().map(_.toSeq).toSet
     spark.catalog.dropTempView(name)
+    assert(streamed === rangeWindowTruth)
+  }
 
-    // Batch truth: trailing 10 s RANGE window over the full union.
-    import org.apache.spark.sql.expressions.Window
-    val all = batches.flatten.toDF("event_id", "ts_s", "user_id", "value")
-      .select(col("event_id"), col("user_id"),
-        (col("ts_s") * 1000000L).as("ts_us"), col("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts_us")
-      .rangeBetween(-10000000L, 0L)
-    val expected = all
-      .select(col("event_id"), col("user_id").as("province_id"), col("ts_us"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .over(w).cast("double").as("pay_amount"))
-      .collect().map(_.toSeq).toSet
-    assert(streamed === expected)
+  test("q29 transform recovers exactly-once from checkpoint on RocksDB state store") {
+    import java.nio.file.Files
+    // The production state path: durable checkpoint + RocksDB state
+    // store (incremental-snapshot state that scales past executor
+    // heap), with a mid-stream stop/restart. The restarted query must
+    // resume from committed offsets + state — combined output is the
+    // batch answer exactly once, late event included.
+    val dir = Files.createTempDirectory("graft_ckpt_stream").toFile
+    val ckpt = Files.createTempDirectory("graft_ckpt_loc").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+    dir.deleteOnExit()
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Parquet file sink: the memory sink is a debug surface with no
+    // commit log and refuses checkpoint recovery; the file sink's
+    // _spark_metadata transaction log is what gives end-to-end
+    // exactly-once across restarts in production.
+    def runPhase(): Unit = {
+      val q = graft.streaming.StreamingQueries
+        .rangeStateTransform(spark, eventsFileStream(dir))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    }
+    def committedRows: Seq[Seq[Any]] = spark.read.parquet(outDir)
+      .select("event_id", "province_id", "ts_us", "pay_amount")
+      .collect().map(_.toSeq).toSeq
+    try {
+      // Phase 1: first two batches, then a hard stop.
+      eventBatches.take(2).zipWithIndex.foreach { case (rows, i) =>
+        writeBatchFile(dir, i, rows)
+      }
+      runPhase()
+      val phase1 = committedRows
+      assert(phase1.nonEmpty, "phase 1 produced no rows")
+
+      // Phase 2: third batch arrives; an IDENTICAL query restarts from
+      // the same checkpoint — it must resume from committed offsets +
+      // RocksDB key state, not reprocess phase-1 batches.
+      writeBatchFile(dir, 2, eventBatches(2))
+      runPhase()
+      val all = committedRows
+
+      // Exactly-once: compared as a MULTISET (sorted seq) — a replayed
+      // batch would duplicate rows, which a set compare could hide.
+      assert(all.size === rangeWindowTruth.size,
+        s"row count ${all.size} != ${rangeWindowTruth.size} (replay or loss)")
+      assert(all.map(_.toString).sorted ===
+        rangeWindowTruth.toSeq.map(_.toString).sorted)
+      assert(phase1.toSet.subsetOf(all.toSet))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("json payment source decodes the reference wire format with watermark") {
