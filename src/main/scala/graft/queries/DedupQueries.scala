@@ -154,9 +154,16 @@ object DedupQueries {
   // ---------------------------------------------------------------- q36
   /** SimHash near-dup: 64-bit code per doc, Hamming ≤ 7 via 8×8-bit
     * chunk blocking (pigeonhole-exact: no candidate at distance ≤7 is
-    * missed) + `bit_count(xor)` verify. Same ids-only blocking →
-    * candidate-pruned fetch shape as q35/q37/q38; a sim code is one
-    * long, so the fetch is an 8-byte-per-doc broadcast.
+    * missed) + `bit_count(xor)` verify.
+    *
+    * Unlike q35/q37/q38, the feature here is a single LONG, so the
+    * scale-optimal shape is to carry the code THROUGH the blocking
+    * (an (id, code) row is barely wider than an id row): pairs emerge
+    * from bucket expansion with both codes attached, the Hamming
+    * filter runs before anything is deduplicated, and there is no
+    * verify join at all — one aggregation shuffle end-to-end. The
+    * candidate-prune fetch machinery (`attachFeatures`) exists for
+    * features too wide to ship through blocking.
     *
     * Chunk-width note for scale: 8-bit chunks put ~N/256 docs in a
     * bucket, so the expected candidate count grows ~N²/(8·256²) — fine
@@ -178,15 +185,24 @@ object DedupQueries {
       .filter(size(col("shingles")) >= 1)
     val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
       .select(col("doc_id"), col("simhash").as("sim"))
-    val chunks = docs.select(col("doc_id"),
+    val chunks = docs.select(col("doc_id"), col("sim"),
       posexplode(Hashing.simHashChunks(col("sim"))).as(Seq("chunk_idx", "chunk")))
     val buckets = chunks
-      .groupBy("chunk_idx", "chunk").agg(collect_list("doc_id").as("ids"))
-    val cands = bucketPairs(buckets)
-    attachFeatures(cands, docs, "doc_id", "sim")
-      .select(col("a"), col("b"),
-        Hashing.hamming64(col("f_a"), col("f_b")).as("hamming"))
+      .groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .filter(size(col("members")).between(2, MaxBucket))
+      // spread the quadratic pair expansion (cf. bucketPairs)
+      .repartition(s.sparkContext.defaultParallelism)
+    buckets
+      .select(explode(col("members")).as("m"), col("members"))
+      .select(col("m"), explode(col("members")).as("n"))
+      .filter(col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("a"), col("n.doc_id").as("b"),
+        Hashing.hamming64(col("m.sim"), col("n.sim")).as("hamming"))
       .filter(col("hamming") <= 7)
+      // dedup across the 8 chunk tables AFTER the cheap Hamming
+      // filter: the exchange carries only true near-dup pairs
+      .distinct()
       .orderBy("a", "b")
   }
 
