@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.Extended2.queries ++
       graft.queries.Extended3.queries ++
+      graft.queries.Extended4.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Extended.oracles ++
       graft.queries.Extended2.oracles ++
       graft.queries.Extended3.oracles ++
+      graft.queries.Extended4.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
