@@ -69,9 +69,37 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Batch-kernel decode path: the same decode as q41, but driven
+    * through `mapPartitions` with explicit batching — the shape a
+    * NATIVE codec binding needs (per-batch scratch-buffer/native-call
+    * amortization; cf. [[graft.multimodal.DecodeStub.decodeBatch]]).
+    * Typed Dataset in, case-class Encoder out: schema, partitioning
+    * and batch size are all real; only the kernel arithmetic is the
+    * stub. MultimodalSpec asserts this path is row-identical to
+    * q41's column-expression path — two independent implementations
+    * of the same decode.
+    *
+    * Scale note: this is a pure map stage — no shuffle, scan-bound,
+    * and the batch size bounds per-task scratch memory regardless of
+    * partition size.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.DecodeStub
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeStub.BatchSize)
+        .flatMap(DecodeStub.decodeBatch))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_mm_decode" -> (q41 _),
-    "q42_mm_frames" -> (q42 _))
+    "q42_mm_frames" -> (q42 _),
+    "q62_mm_batch_decode" -> (q62 _))
 
   val oracles: Map[String, String] = Map.empty
 }
