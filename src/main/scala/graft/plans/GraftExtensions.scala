@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, SrpCode}
+import graft.functions.{CosineSim, MinHashSig, SimHashSig, SrpCode}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.srpCodeDescriptor)
+    e.injectFunction(GraftExtensions.minHashSigDescriptor)
+    e.injectFunction(GraftExtensions.simHashSigDescriptor)
   }
 }
 
@@ -42,6 +44,16 @@ object GraftExtensions {
       intArg(args(2), "bits"),
       if (args.length > 3) intArg(args(3), "seed").toLong else 0xA11CE5L))
 
+  private[plans] val minHashSigDescriptor = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "k")))
+
+  private[plans] val simHashSigDescriptor = (
+    FunctionIdentifier("simhash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+    (args: Seq[Expression]) => SimHashSig(args.head))
+
   /** Register the functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -52,5 +64,10 @@ object GraftExtensions {
         intArg(args(2), "bits"),
         if (args.length > 3) intArg(args(3), "seed").toLong else 0xA11CE5L),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      args => MinHashSig(args.head, intArg(args(1), "k")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", args => SimHashSig(args.head), "built-in")
   }
 }

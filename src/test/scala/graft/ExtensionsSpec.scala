@@ -17,6 +17,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](1).length === 4)
   }
 
+  test("minhash_sig and simhash_sig SQL output matches the DataFrame stages") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Hashing, TextFunctions => T}
+    val docs = Tables.documents(spark, SparkTestSession.sf).limit(20)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+    docs.createOrReplaceTempView("sig_spec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(shingles, 128) AS sig,
+        |       simhash_sig(shingles) AS sim
+        |FROM sig_spec_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val sigs = Hashing.minHashSignatures(docs, "doc_id", "shingles", 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sims = Hashing.simHashes(docs, "doc_id", "shingles")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("sig_spec_docs")
+    assert(viaSql.nonEmpty)
+    assert(viaSql.map { case (id, (s, _)) => id -> s } === sigs)
+    assert(viaSql.map { case (id, (_, m)) => id -> m } === sims)
+  }
+
   test("srp_code SQL output matches the Column API expression") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
