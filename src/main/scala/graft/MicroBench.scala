@@ -1,0 +1,172 @@
+package graft
+
+import graft.functions.{CosineSim, Hashing, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Per-operator microbenchmarks: times each native kernel against the
+  * naive formulation it replaced, on replicated testdata, and writes
+  * docs/MICRO.md. This documents — with numbers reproducible by
+  * `runMain graft.MicroBench` — the measured claims behind the
+  * SURVEY.md §4 design choices (native expressions over interpreted
+  * HOFs; per-row signatures over explode+groupBy).
+  *
+  * Method: each variant runs `warmups + runs` times on the SAME
+  * cached input; we report the median of `runs` (JIT/codegen warmup
+  * excluded — those one-time costs are reported by Bench, not here).
+  */
+object MicroBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def medianSecs(f: => Unit, warmups: Int = 1, runs: Int = 3): Double = {
+      (1 to warmups).foreach(_ => f)
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(runs / 2)
+    }
+
+    // ---- inputs (replicated so kernels dominate scan overhead) ----
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(8).select(col("id").as("rep")))
+      .repartition(32).persist()
+    val nEmb = emb.count()
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+      .repartition(32).persist()
+    val nDocs = docs.count()
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, String, Long, Double)]()
+    def bench(op: String, variant: String, rows: Long)(f: => Unit): Unit = {
+      val s = medianSecs(f)
+      results += ((op, variant, rows, s))
+      System.err.println(f"[micro] $op%-16s $variant%-28s $s%8.3f s  (${rows / s}%,.0f rows/s)")
+    }
+
+    // ---- cosine: native expression vs interpreted HOF --------------
+    val pairs = emb.select(col("embedding").as("a"),
+      reverse(col("embedding")).as("b")).persist()
+    pairs.count()
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+      dot / (na * nb)
+    }
+    bench("cosine", "native CosineSim", nEmb) {
+      pairs.select(sum(CosineSim(col("a"), col("b")))).collect()
+    }
+    bench("cosine", "HOF zip_with/aggregate", nEmb) {
+      pairs.select(sum(hofCosine(col("a"), col("b")))).collect()
+    }
+
+    // ---- minhash(128): native per-row vs explode+groupBy -----------
+    bench("minhash128", "native MinHashSig", nDocs) {
+      Hashing.minHashSignatures(docs, "doc_id", "shingles", 128)
+        .select(sum(element_at(col("sig"), 1))).collect()
+    }
+    bench("minhash128", "explode + 128 grouped MINs", nDocs) {
+      val (a, b) = Hashing.affineSeeds(128)
+      val p = Hashing.MinHashPrime
+      val exploded = docs
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("h"))
+      val mins = (0 until 128).map(i =>
+        min(pmod(col("h") * a(i) + b(i), lit(p))).as(s"m$i"))
+      exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .select(sum(col("m0"))).collect()
+    }
+
+    // ---- simhash64: native per-row vs explode+groupBy --------------
+    bench("simhash64", "native SimHashSig", nDocs) {
+      Hashing.simHashes(docs, "doc_id", "shingles")
+        .select(sum(col("simhash").bitwiseAND(1023L))).collect()
+    }
+    bench("simhash64", "explode + 64 bit-vote SUMs", nDocs) {
+      val masks = (0 until 64).map(1L << _)
+      val exploded = docs
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      val sums = masks.zipWithIndex.map { case (m, i) =>
+        sum(when(col("h").bitwiseAND(m) =!= 0, 1L).otherwise(-1L)).as(s"b$i")
+      }
+      val packed = masks.zipWithIndex.map { case (m, i) =>
+        when(col(s"b$i") >= 0, m).otherwise(0L)
+      }.reduce((x, y) => x.bitwiseOR(y))
+      exploded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(sum(packed.bitwiseAND(1023L))).collect()
+    }
+
+    // ---- srp codes: native vs interpreted HOF ----------------------
+    bench("srp_code 8x8", "native SrpCode", nEmb) {
+      emb.select(sum(element_at(
+        graft.queries.Lsh.srpCodes(col("embedding"), 8, 8), 1))).collect()
+    }
+    bench("srp_code 8x8", "HOF zip_with/aggregate", nEmb) {
+      // Same seeded hyperplanes as SrpCode, trimmed to the 64-dim
+      // embeddings; all 8 tables computed (as the native kernel does).
+      val rnd = new java.util.Random(0xA11CE5L)
+      val planes = Array.fill(8, 8, 256)(rnd.nextGaussian())
+      val codeCols = (0 until 8).map { t =>
+        (0 until 8).map { bit =>
+          val row = planes(t)(bit).take(64)
+          val dot = aggregate(
+            zip_with(col("embedding"),
+              typedLit(row.toSeq), (x, h) => x * h),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot >= 0, 1 << bit).otherwise(0)
+        }.reduce(_ + _)
+      }
+      emb.select(sum(codeCols.reduce(_ + _))).collect()
+    }
+
+    // ---- tokenize+shingle pipeline throughput (no alternative) -----
+    val rawDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(4).select(col("id").as("rep")))
+      .repartition(32).persist()
+    val nRaw = rawDocs.count()
+    bench("shingle2", "tokens+ngrams+distinct", nRaw) {
+      rawDocs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .select(sum(size(array_distinct(T.wordNGrams(col("toks"), 2)))))
+        .collect()
+    }
+
+    // ---- report ----------------------------------------------------
+    val sb = new StringBuilder
+    sb.append("# Kernel microbenchmarks (generated by graft.MicroBench)\n\n")
+    sb.append(s"Input dir: `$dir` (embeddings ×8 = $nEmb rows; shingled docs = $nDocs; raw docs ×4 = $nRaw).\n")
+    sb.append("Median of 3 timed runs after 1 warmup, local[32]. Ratios are\n")
+    sb.append("per-operator speedups of the native kernel over the naive form.\n\n")
+    sb.append("| operator | variant | rows | median s | rows/s | speedup |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    results.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      val base = rs.last._4
+      rs.foreach { case (op, v, n, s) =>
+        val ratio = if (s > 0) base / s else Double.NaN
+        sb.append(f"| $op | $v | $n | $s%.3f | ${n / s}%,.0f | ${ratio}%.1f× |\n")
+      }
+    }
+    Files.createDirectories(Paths.get("docs"))
+    Files.writeString(Paths.get("docs/MICRO.md"), sb.toString)
+    println(s"wrote docs/MICRO.md (${results.size} rows)")
+    spark.stop()
+  }
+}

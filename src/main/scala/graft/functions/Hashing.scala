@@ -24,7 +24,7 @@ object Hashing {
     * Z/(2^31-1). Seeds are fixed so signatures are deterministic
     * across runs/partitions.
     */
-  private[functions] def affineSeeds(k: Int): (Seq[Long], Seq[Long]) = {
+  private[graft] def affineSeeds(k: Int): (Seq[Long], Seq[Long]) = {
     val rnd = new java.util.Random(0x5EED5EEDL)
     val a = Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong)
     val b = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
