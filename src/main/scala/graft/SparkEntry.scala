@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Extended2.queries ++
       graft.queries.Extended3.queries ++
       graft.queries.Extended4.queries ++
+      graft.queries.Extended5.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Extended2.oracles ++
       graft.queries.Extended3.oracles ++
       graft.queries.Extended4.oracles ++
+      graft.queries.Extended5.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
