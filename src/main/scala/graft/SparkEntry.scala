@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Extended3.queries ++
       graft.queries.Extended4.queries ++
       graft.queries.Extended5.queries ++
+      graft.queries.Extended6.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Extended3.oracles ++
       graft.queries.Extended4.oracles ++
       graft.queries.Extended5.oracles ++
+      graft.queries.Extended6.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
