@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Sixth extension batch (SURVEY.md §2 q66–q67): the user-facing
+  * array higher-order-function surface and schema'd JSON decode —
+  * the last pieces of the ibis collection/semi-structured surface.
+  */
+object Extended6 {
+
+  // ---------------------------------------------------------------- q66
+  /** Array HOFs as user operators: per-order line-number array, then
+    * transform / filter / exists / aggregate over it. Integer-typed
+    * throughout so both engines agree bit-exactly; array results ship
+    * as JSON strings (driver-comparator-safe, q49 convention). One
+    * partial-agg shuffle builds the arrays; the HOFs are row-local.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"))
+      .select(col("l_orderkey"),
+        to_json(col("lines")).as("lines"),
+        to_json(transform(col("lines"), x => x * 2)).as("doubled"),
+        to_json(filter(col("lines"), x => x % 2 === 0)).as("evens"),
+        exists(col("lines"), x => x >= 5).as("has_ge5"),
+        aggregate(col("lines"), lit(0), (acc, x) => acc + x).as("line_sum"))
+      .orderBy("l_orderkey")
+
+  private val q66Sql =
+    """WITH a AS (
+      |  SELECT l_orderkey,
+      |         list_sort(list(l_linenumber)) AS lines
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |       CAST(to_json(lines) AS VARCHAR) AS lines,
+      |       CAST(to_json(list_transform(lines, x -> x * 2)) AS VARCHAR) AS doubled,
+      |       CAST(to_json(list_filter(lines, x -> x % 2 = 0)) AS VARCHAR) AS evens,
+      |       len(list_filter(lines, x -> x >= 5)) > 0 AS has_ge5,
+      |       CAST(list_sum(lines) AS INT) AS line_sum
+      |FROM a ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Schema'd JSON decode (`from_json` into a typed struct — the same
+    * decode the streaming source uses, as a batch operator) + grouped
+    * stats over the decoded field. Decode is row-local codegen; the
+    * rollup shuffles four ints per group.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, dir)
+      .select(col("event_type"), from_json(col("props"), schema).as("p"))
+      .groupBy("event_type")
+      .agg(count(col("p.k")).as("n"),
+        min(col("p.k")).as("k_min"),
+        max(col("p.k")).as("k_max"),
+        round(avg(col("p.k")), 6).as("k_avg"))
+      .orderBy("event_type")
+  }
+
+  private val q67Sql =
+    """SELECT event_type,
+      |       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+      |       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS k_avg
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_array_hofs" -> (q66 _),
+    "q67_json_decode" -> (q67 _))
+
+  val oracles: Map[String, String] = Map(
+    "q66_array_hofs" -> q66Sql,
+    "q67_json_decode" -> q67Sql)
+}
