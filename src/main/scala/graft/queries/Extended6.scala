@@ -69,11 +69,37 @@ object Extended6 {
       |       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS k_avg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Fuzzy matching via edit distance — the entity-resolution
+    * primitive: customers whose name is within Levenshtein 3 of a
+    * probe. Row-local DP (codegen'd `levenshtein`), scan-bound; at
+    * scale a probe SET broadcasts and this is a broadcast nested-loop
+    * over (candidate-blocked) rows — blocking via q35-style n-gram
+    * LSH when both sides are large.
+    */
+  private val Probe = "Customer#000000100"
+
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        levenshtein(col("c_name"), lit(Probe)).as("dist"))
+      .filter(col("dist") <= 3)
+      .orderBy("c_custkey")
+
+  private val q68Sql =
+    s"""SELECT c_custkey, c_name,
+       |       CAST(levenshtein(c_name, '$Probe') AS INT) AS dist
+       |FROM customer
+       |WHERE levenshtein(c_name, '$Probe') <= 3
+       |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_array_hofs" -> (q66 _),
-    "q67_json_decode" -> (q67 _))
+    "q66_array_hofs"  -> (q66 _),
+    "q67_json_decode" -> (q67 _),
+    "q68_fuzzy_match" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
-    "q66_array_hofs" -> q66Sql,
-    "q67_json_decode" -> q67Sql)
+    "q66_array_hofs"  -> q66Sql,
+    "q67_json_decode" -> q67Sql,
+    "q68_fuzzy_match" -> q68Sql)
 }
