@@ -176,6 +176,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains the source incrementally and terminates") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    // The production scheduled-ingest pattern: each invocation drains
+    // everything available in bounded micro-batches, then STOPS on its
+    // own (unlike processAllAvailable, which needs a driver watching).
+    // Two invocations over a growing dir must be exactly-once overall.
+    val dir = Files.createTempDirectory("graft_an_stream").toFile
+    val ckpt = Files.createTempDirectory("graft_an_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_an_out").toString
+    dir.deleteOnExit()
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingQueries
+        .rangeStateTransform(spark, eventsFileStream(dir))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    eventBatches.take(2).zipWithIndex.foreach { case (rows, i) =>
+      writeBatchFile(dir, i, rows)
+    }
+    drain()
+    writeBatchFile(dir, 2, eventBatches(2))
+    drain()
+    val all = spark.read.parquet(outDir)
+      .select("event_id", "province_id", "ts_us", "pay_amount")
+      .collect().map(_.toSeq).toSeq
+    assert(all.size === rangeWindowTruth.size)
+    assert(all.map(_.toString).sorted ===
+      rangeWindowTruth.toSeq.map(_.toString).sorted)
+  }
+
   test("json payment source decodes the reference wire format with watermark") {
     import spark.implicits._
     val lines = Seq(
