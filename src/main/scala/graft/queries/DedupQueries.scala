@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * exact-match blocking key (LSH band / SimHash chunk / hyperplane
   * bucket) so the only full-table shuffle is on small (id, key) rows —
   * never an all-pairs comparison and NEVER the feature arrays
-  * (shingles / grams / embeddings). The verify stage fetches features
-  * for the candidate-id set only: candidates are bounded by the bucket
-  * cap (≤ buckets × C(MaxBucket,2)) and in practice by the corpus
+  * (shingles / grams / embeddings). For array-typed features
+  * (q35/q37/q38) the verify stage fetches features for the
+  * candidate-id set only: candidates are bounded by the bucket cap
+  * (≤ buckets × C(MaxBucket,2)) and in practice by the corpus
   * dup-rate, so the exchange feeding the verify join is sized by the
-  * number of near-dup candidates, not by the corpus.
+  * number of near-dup candidates, not by the corpus. A fixed-width
+  * scalar feature (q36's 8-byte SimHash) instead ships WITH the id
+  * through blocking — no verify join at all.
   */
 object DedupQueries {
 
