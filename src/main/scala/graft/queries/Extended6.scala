@@ -93,13 +93,54 @@ object Extended6 {
        |WHERE levenshtein(c_name, '$Probe') <= 3
        |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Map-typed columns: build a per-order linenumber→quantity map
+    * (`map_from_entries` over a sorted entry array, so key order is
+    * deterministic), then cardinality / key lookup / keys / values.
+    * The oracle computes the same RESULTS relationally — map
+    * construction is engine-internal, so asserting the derived
+    * scalars and sorted key/value lists is the dialect-safe check.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty"))
+      // testdata linenumbers repeat within an order: dedup to one
+      // entry per key (max qty) before map construction — map keys
+      // must be unique (ANSI DUPLICATED_MAP_KEY otherwise)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("qty")).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("l_linenumber"), col("qty")))))
+        .as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).as("n"),
+        element_at(col("m"), 1).as("qty1"),
+        to_json(map_keys(col("m"))).as("keys"),
+        to_json(array_sort(map_values(col("m")))).as("vals_sorted"))
+      .orderBy("l_orderkey")
+
+  private val q69Sql =
+    """WITH e AS (
+      |  SELECT l_orderkey, l_linenumber, MAX(CAST(l_quantity AS INT)) AS qty
+      |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      |SELECT l_orderkey,
+      |       CAST(COUNT(*) AS INT) AS n,
+      |       CAST(MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS INT) AS qty1,
+      |       CAST(to_json(list_sort(list(l_linenumber))) AS VARCHAR) AS keys,
+      |       CAST(to_json(list_sort(list(qty))) AS VARCHAR) AS vals_sorted
+      |FROM e GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_array_hofs"  -> (q66 _),
     "q67_json_decode" -> (q67 _),
-    "q68_fuzzy_match" -> (q68 _))
+    "q68_fuzzy_match" -> (q68 _),
+    "q69_map_ops"     -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q66_array_hofs"  -> q66Sql,
     "q67_json_decode" -> q67Sql,
-    "q68_fuzzy_match" -> q68Sql)
+    "q68_fuzzy_match" -> q68Sql,
+    "q69_map_ops"     -> q69Sql)
 }
