@@ -69,7 +69,8 @@ object Extended4 {
   }
 
   private val q60Sql =
-    """SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    """SELECT lang, COUNT(*) AS n_kept,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
       |FROM documents
       |WHERE doc_id % 100 <
       |  CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'fr' THEN 50

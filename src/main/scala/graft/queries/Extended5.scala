@@ -77,9 +77,9 @@ object Extended5 {
     s"""WITH t AS (SELECT source, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
        |           FROM documents)
        |SELECT source,
-       |       SUM(len(regexp_extract_all(t, '$EmailRe'))) AS n_emails,
-       |       SUM(len(regexp_extract_all(t, '$UrlRe'))) AS n_urls,
-       |       SUM(len(regexp_extract_all(t, '$DigitRunRe'))) AS n_digit_runs,
+       |       CAST(SUM(len(regexp_extract_all(t, '$EmailRe'))) AS BIGINT) AS n_emails,
+       |       CAST(SUM(len(regexp_extract_all(t, '$UrlRe'))) AS BIGINT) AS n_urls,
+       |       CAST(SUM(len(regexp_extract_all(t, '$DigitRunRe'))) AS BIGINT) AS n_digit_runs,
        |       COUNT(*) AS n_docs
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
@@ -118,8 +118,8 @@ object Extended5 {
        |    END AS BIGINT) AS n_tokens
        |  FROM documents)
        |SELECT source, doc_id, n_tokens,
-       |       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |                           ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
        |       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |                           ROWS UNBOUNDED PRECEDING) - n_tokens)
        |                  / $PackBudget) AS BIGINT) AS pack_id

@@ -22,9 +22,20 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+import numpy as np
+
 def canon(v):
-    if v is None:
+    # Normalize numpy scalars but PRESERVE the int/float distinction:
+    # the driver compares pandas frames, where a DuckDB HUGEINT (e.g.
+    # SUM over an integer column) lands as float64 while Spark's int64
+    # stays integral — "10" vs "10.0" is a real driver hash mismatch
+    # (q60/q64/q65 in round 3), so it must fail here too.
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
         return "NULL"
+    if isinstance(v, np.floating):
+        return repr(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, float):
         return repr(v)
     return str(v)
@@ -60,10 +71,17 @@ for q in sorted(oracle):
     if not os.path.isdir(spark_dir):
         print(f"{q}: MISSING spark output"); fails.append(q); continue
     try:
-        s = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        scols, srows = s.columns, s.fetchall()
-        d = con.sql(oracle[q])
-        dcols, drows = d.columns, d.fetchall()
+        # Compare through pandas frames, as the driver does — .df()
+        # surfaces engine-level dtype differences (HUGEINT→float64)
+        # that fetchall()'s Python ints hide. The spark side also goes
+        # through DuckDB→pandas (r03 evidence: driver passes q46 whose
+        # DATE column diverges under pd.read_parquet but not here).
+        sdf = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+        scols = list(sdf.columns)
+        srows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
+        ddf = con.sql(oracle[q]).df()
+        dcols = list(ddf.columns)
+        drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
     except Exception as e:
         print(f"{q}: ERROR {e}"); fails.append(q); continue
     status = []
