@@ -28,6 +28,33 @@ object DedupQueries {
     */
   val MaxBucket = 64
 
+  /** Child session scoped to one dedup pipeline, with AQE off.
+    *
+    * AQE's final-plan event loop intermittently deadlocks when
+    * explicit broadcast stages are in play — measured r2/r3 as a
+    * 100-300 s park in `AdaptiveSparkPlanExec.withFinalPlanUpdate`
+    * with every pool idle, self-resolving near the broadcast timeout
+    * (the driver's r3 bench: q35 216 s, q37 302 s on code that runs
+    * 4-12 s locally; ~50% of r2 runs). localCheckpoint'ing the
+    * broadcast children to leaf RDDs shrank but did not close the
+    * race, so the dedup family opts out of AQE entirely: these plans
+    * already manage what AQE would (skew → MaxBucket cap + explicit
+    * salt-spread `repartition`; coalescing → explicitly fought, see
+    * `bucketPairs`), and the classic non-adaptive broadcast path has
+    * no event loop to wedge. Scoped via `newSession` so the caller's
+    * session — where AQE earns its keep on ad-hoc relational plans —
+    * is untouched.
+    */
+  private def dedupSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+
   /** Fan a small-file scan out to the session's full parallelism
     * before a compute-heavy map/partial-agg pipeline (signatures: one
     * explode + 64-128 aggregate expressions per row). A 1-row-group
@@ -139,7 +166,8 @@ object DedupQueries {
     * pruned fetch instead of cached — a second scan-bound map pass
     * beats materializing a corpus-sized array column.
     */
-  private def q35(s: SparkSession, dir: String): DataFrame = {
+  private def q35(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
     val sh = shingled2(s, dir)
     val sigs = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
       .select(col("doc_id"),
@@ -175,7 +203,8 @@ object DedupQueries {
     * drops to ⌊63/chunks⌋ by pigeonhole), or buckets re-shard through
     * the MaxBucket cap as here.
     */
-  private def q36(s: SparkSession, dir: String): DataFrame = {
+  private def q36(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
     // Bind `toks` as an attribute BEFORE the n-gram HOF: a lambda body
     // referencing the raw tokenize expression re-evaluates the whole
     // regex chain once per n-gram (measured ~10 s/pass at sf0.1 vs
@@ -215,7 +244,8 @@ object DedupQueries {
     * with prob j; using the k=4 smallest boosts recall to
     * ~1-(1-j)^4 while keeping candidate generation an equi-join).
     */
-  private def q37(s: SparkSession, dir: String): DataFrame = {
+  private def q37(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
     val docs = fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -238,7 +268,8 @@ object DedupQueries {
     * (8 hyperplanes × 8 tables) + exact cosine ≥ 0.4 verify with the
     * native CosineSim expression. Hyperplanes are seeded-deterministic.
     */
-  private def q38(s: SparkSession, dir: String): DataFrame = {
+  private def q38(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val coded = emb.select(col("vec_id"),
       posexplode(Lsh.srpCodes(col("embedding"), tables = 8, bits = 8))
