@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Extended4.queries ++
       graft.queries.Extended5.queries ++
       graft.queries.Extended6.queries ++
+      graft.queries.Extended7.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Extended4.oracles ++
       graft.queries.Extended5.oracles ++
       graft.queries.Extended6.oracles ++
+      graft.queries.Extended7.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

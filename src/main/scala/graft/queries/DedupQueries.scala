@@ -45,7 +45,7 @@ object DedupQueries {
     * session — where AQE earns its keep on ad-hoc relational plans —
     * is untouched.
     */
-  private def dedupSession(s: SparkSession): SparkSession = {
+  private[queries] def dedupSession(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.sql.shuffle.partitions"))

@@ -25,8 +25,11 @@ object Extended4 {
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // orders begin 1995-01-01 in every SF — two months of data keeps
+    // the result real (the earlier 1992 cutoff matched ZERO rows, a
+    // vacuously-green oracle)
     Tables.orders(s, dir)
-      .filter(col("o_orderdate") < lit("1992-03-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         ntile(4).over(w).as("quartile"),
         round(cume_dist().over(w), 6).as("cdist"),
@@ -40,7 +43,7 @@ object Extended4 {
       |       ROUND(cume_dist() OVER w, 6) AS cdist,
       |       ROUND(percent_rank() OVER w, 6) AS prank
       |FROM orders
-      |WHERE o_orderdate < TIMESTAMP '1992-03-01'
+      |WHERE o_orderdate < TIMESTAMP '1995-03-01'
       |WINDOW w AS (PARTITION BY o_orderpriority
       |             ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin

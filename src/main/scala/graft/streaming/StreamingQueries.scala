@@ -273,7 +273,32 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Native session windows on a stream: per-user sessions closed by a
+    * 30-minute inactivity gap — the dynamic-gap session window
+    * Flink-style engines expose, executed as a real Structured
+    * Streaming aggregation (`session_window` merges overlapping
+    * per-event windows in the state store; state per key is bounded by
+    * the open-session span + allowed delay once the watermark closes
+    * sessions). Complete mode emits the final merged sessions for the
+    * bounded demo source; oracle = the batch gap-island formulation
+    * (lag + cumulative new-session flags), which the drained stream
+    * must equal. Session end is last event + gap, both engines.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsStream(s, dir)
+      .withWatermark("ts", "15 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+    runToSnapshot(s, sessions, "q75_sink", OutputMode.Complete)
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"), col("total"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stream_session_window" -> (q75 _),
     "q28_stream_tumble"      -> (q28 _),
     "q29_stream_range_state" -> (q29 _),
     "q47_stream_dedup"       -> (q47 _),
@@ -305,5 +330,24 @@ object StreamingQueries {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
-        |ORDER BY click_id, purchase_id""".stripMargin)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q75_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }
