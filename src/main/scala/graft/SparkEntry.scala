@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Extended5.queries ++
       graft.queries.Extended6.queries ++
       graft.queries.Extended7.queries ++
+      graft.queries.Extended8.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Extended5.oracles ++
       graft.queries.Extended6.oracles ++
       graft.queries.Extended7.oracles ++
+      graft.queries.Extended8.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
