@@ -36,8 +36,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Untimed warmup: first query otherwise pays one-off JVM/JIT,
     // codegen-compiler and parquet-reader init (~3 s measured on
-    // q01) — session setup cost, not query cost.
+    // q01) — session setup cost, not query cost. The tokens-regex
+    // chain JIT is the same class of one-off (~7 s measured on the
+    // first text/dedup query), so warm it on a small slice too.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(64)
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .select(sum(size(col("t")))).collect()
+    }
     val errors = scala.collection.mutable.Map[String, String]()
     // toSeq.sortBy: fixed execution order + per-query progress on
     // stderr (stdout stays JSON-only for the driver)

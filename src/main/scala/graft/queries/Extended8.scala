@@ -106,13 +106,40 @@ object Extended8 {
       |  FROM events)
       |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Per-label embedding centroids: element-wise mean over each
+    * label's vectors — the class-centroid computation behind nearest-
+    * centroid classification, IVF coarse init, and drift monitoring.
+    * Shape: posexplode to (label, pos, v) scalars → partial-agg mean
+    * per (label, pos). The shuffle carries labels × dims partial sums
+    * per task — independent of corpus size; no vector ever crosses
+    * the wire whole. Output is flat (label, pos) rows: deterministic,
+    * array-free (driver-comparator-safe), and exactly what a
+    * downstream broadcast join consumes.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
+
+  private val q80Sql =
+    """SELECT label, CAST(i - 1 AS INT) AS pos,
+      |       ROUND(AVG(embedding[i]), 6) AS centroid,
+      |       COUNT(*) AS n_vecs
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_grouped_topk" -> (q77 _),
     "q78_length_bucket" -> (q78 _),
-    "q79_keep_latest"  -> (q79 _))
+    "q79_keep_latest"  -> (q79 _),
+    "q80_label_centroid" -> (q80 _))
 
   val oracles: Map[String, String] = Map(
     "q77_grouped_topk" -> q77Sql,
     "q78_length_bucket" -> q78Sql,
-    "q79_keep_latest"  -> q79Sql)
+    "q79_keep_latest"  -> q79Sql,
+    "q80_label_centroid" -> q80Sql)
 }
