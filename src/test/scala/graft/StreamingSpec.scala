@@ -209,6 +209,48 @@ class StreamingSpec extends AnyFunSuite {
       rangeWindowTruth.toSeq.map(_.toString).sorted)
   }
 
+  test("q75 session windows merge across micro-batches") {
+    import java.nio.file.Files
+    // user 1: five events with gaps < 30 min that STRADDLE the first
+    // two micro-batches (1200 s in batch 1 → 1500 s in batch 2 must
+    // merge into one session in the state store), then a 60-min-gap
+    // pair in batch 3 opening a second session. user 2: two isolated
+    // single-event sessions.
+    val batches = Seq(
+      Seq((1L, 0L, 1L, 1.0), (2L, 600L, 1L, 1.0), (3L, 1200L, 1L, 1.0),
+        (10L, 0L, 2L, 2.0)),
+      Seq((4L, 1500L, 1L, 1.0), (5L, 2400L, 1L, 1.0), (11L, 7200L, 2L, 2.0)),
+      Seq((6L, 6000L, 1L, 1.0), (7L, 6300L, 1L, 1.0)))
+    val dir = Files.createTempDirectory("graft_sess_stream").toFile
+    dir.deleteOnExit()
+    batches.zipWithIndex.foreach { case (rows, i) => writeBatchFile(dir, i, rows) }
+
+    val sessions = eventsFileStream(dir)
+      .withWatermark("ts", "15 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val name = s"sess_sink_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "expected >=3 non-empty micro-batches")
+    } finally { q.stop(); q.awaitTermination() }
+    val got = spark.table(name)
+      .select(col("user_id"), unix_timestamp(col("win.start")).as("s"),
+        unix_timestamp(col("win.end")).as("e"), col("n"), col("total"))
+      .collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView(name)
+    // session end = last event + gap (1800 s)
+    val want: Set[Seq[Any]] = Set(
+      Seq(1L, 0L, 2400L + 1800L, 5L, 5.0),
+      Seq(1L, 6000L, 6300L + 1800L, 2L, 2.0),
+      Seq(2L, 0L, 1800L, 1L, 2.0),
+      Seq(2L, 7200L, 9000L, 1L, 2.0))
+    assert(got === want)
+  }
+
   test("json payment source decodes the reference wire format with watermark") {
     import spark.implicits._
     val lines = Seq(
