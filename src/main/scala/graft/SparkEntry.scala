@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Extended6.queries ++
       graft.queries.Extended7.queries ++
       graft.queries.Extended8.queries ++
+      graft.queries.Extended9.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.Extended6.oracles ++
       graft.queries.Extended7.oracles ++
       graft.queries.Extended8.oracles ++
+      graft.queries.Extended9.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

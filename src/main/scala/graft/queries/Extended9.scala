@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Eighth extension batch (SURVEY.md §2 q81–q82): fixed-size token
+  * chunking (the context-window splitter run before embedding /
+  * retrieval indexing) and arbitrary-width time bucketing.
+  */
+object Extended9 {
+
+  // ---------------------------------------------------------------- q81
+  /** Context-window chunking: split each document's token stream into
+    * fixed 32-token chunks (last chunk ragged), one output row per
+    * chunk with its index, text, and token count. Row-local expansion
+    * (explode over a computed chunk-index range + array slice) — no
+    * shuffle but the final ORDER BY; at 100 TB this is the scan-bound
+    * map stage feeding an embedding job, and the chunk index is the
+    * stable join-back key.
+    */
+  private val ChunkTokens = 32
+
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / ChunkTokens).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * ChunkTokens + 1, lit(ChunkTokens))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val q81Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, t,
+       |         CAST(unnest(generate_series(0, (len(t) - 1) // $ChunkTokens)) AS INT)
+       |           AS chunk_idx
+       |  FROM toks WHERE len(t) >= 1)
+       |SELECT doc_id, chunk_idx,
+       |       array_to_string(
+       |         t[chunk_idx * $ChunkTokens + 1 : chunk_idx * $ChunkTokens + $ChunkTokens],
+       |         ' ') AS chunk_text,
+       |       CAST(len(t[chunk_idx * $ChunkTokens + 1 : chunk_idx * $ChunkTokens + $ChunkTokens]) AS INT)
+       |         AS n_chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Arbitrary-width time bucketing: 45-minute tumbling buckets via
+    * `window()` (epoch-aligned — not expressible with date_trunc),
+    * counted and exact-decimal-summed per (bucket, event_type). One
+    * partial-agg shuffle; bucket assignment is row-local.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "45 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("win.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("bucket_start", "event_type")
+
+  private val q82Sql =
+    """SELECT time_bucket(INTERVAL '45 minutes', ts, TIMESTAMP '1970-01-01')
+      |         AS bucket_start,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY bucket_start, event_type
+      |ORDER BY bucket_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_chunking"    -> (q81 _),
+    "q82_time_bucket" -> (q82 _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_chunking"    -> q81Sql,
+    "q82_time_bucket" -> q82Sql)
+}
