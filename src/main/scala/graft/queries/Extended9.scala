@@ -83,11 +83,47 @@ object Extended9 {
       |GROUP BY bucket_start, event_type
       |ORDER BY bucket_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Numeric-RANGE window frame: for each order, how many orders of
+    * the same priority fall within 1000.00 of its price, and their
+    * exact-decimal sum — the value-based frame variant of q20's
+    * time-based RANGE (the last window-frame flavor in the ibis
+    * surface). One shuffle on the partition key. Prices are
+    * 2-decimal; the 1000.00 bound lands on exact decimal values in
+    * both engines, so frame membership is bit-identical.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 7 === 0) // thin deterministically
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("near_total"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q83Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |       COUNT(*) OVER w AS n_near,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |         AS near_total
+      |FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_chunking"    -> (q81 _),
-    "q82_time_bucket" -> (q82 _))
+    "q82_time_bucket" -> (q82 _),
+    "q83_range_numeric" -> (q83 _))
 
   val oracles: Map[String, String] = Map(
     "q81_chunking"    -> q81Sql,
-    "q82_time_bucket" -> q82Sql)
+    "q82_time_bucket" -> q82Sql,
+    "q83_range_numeric" -> q83Sql)
 }

@@ -251,6 +251,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dropDuplicatesWithinWatermark dedups in-delay repeats, passes expired keys") {
+    import java.nio.file.Files
+    // The bounded-state streaming dedup (vs q47's keep-forever state):
+    // the CONTRACT is one-sided — duplicates arriving within the 15 s
+    // delay are guaranteed dropped; repeats after the key's state
+    // expires MAY be re-emitted (state cleanup timing is the engine's
+    // business). What it buys at scale: state is O(keys active within
+    // the delay), not O(stream).
+    val batches = Seq(
+      Seq((1L, 10L, 1L, 1.0), (2L, 12L, 1L, 1.0), (3L, 20L, 2L, 2.0)),
+      Seq((4L, 60L, 2L, 2.0)),   // dup of key 2 while its state is live
+      Seq((5L, 200L, 1L, 1.0)))  // repeat of key 1 long after expiry
+    val dir = Files.createTempDirectory("graft_ddww_stream").toFile
+    dir.deleteOnExit()
+    batches.zipWithIndex.foreach { case (rows, i) => writeBatchFile(dir, i, rows) }
+
+    val deduped = eventsFileStream(dir)
+      .withWatermark("ts", "15 seconds")
+      .dropDuplicatesWithinWatermark("user_id")
+    val name = s"ddww_sink_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    val kept = spark.table(name).select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name)
+    // guaranteed: first arrivals pass, in-delay dups never do
+    assert(Set(1L, 3L).subsetOf(kept))
+    assert(kept.intersect(Set(2L, 4L)).isEmpty)
+    // anything emitted must be a first-or-post-expiry arrival
+    assert(kept.subsetOf(Set(1L, 3L, 5L)))
+  }
+
   test("json payment source decodes the reference wire format with watermark") {
     import spark.implicits._
     val lines = Seq(
