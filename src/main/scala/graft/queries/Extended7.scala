@@ -161,22 +161,26 @@ object Extended7 {
       |FROM documents ORDER BY doc_id, copy_idx""".stripMargin
 
   // ---------------------------------------------------------------- q74
-  /** TF-IDF term scoring: per-document term frequency joined to
-    * corpus-level document frequency; emit terms with tf ≥ 6 and
-    * their tf·ln(N/df) score. Two partial-agg shuffles (doc-term,
-    * term) + one broadcast of the df table's matched slice — at scale
-    * the df table is vocabulary-sized (shuffle on term), and the
-    * doc-term aggregate is map-side-combined before it ever moves.
+  /** TF-IDF term scoring: per-document term frequency, corpus
+    * document frequency, emit terms with tf ≥ 6 and their
+    * tf·ln(N/df) score. One pass over the corpus: explode →
+    * map-side-combined (doc, term) aggregate → term-partitioned
+    * COUNT window (the df) → broadcast of the scalar doc count. Two
+    * shuffles total, both partial-agg/window on compact keys.
     */
   private def q74(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val terms = docs
+    val tf = docs
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df as a COUNT window over the tf aggregate — NOT a second
+    // aggregation branch, which would re-run the token explode over
+    // the whole corpus (tf feeds both sides of a self-join otherwise)
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("term")))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.filter(col("tf") >= 6)
-      .join(df, "term")
+    withDf.filter(col("tf") >= 6)
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
@@ -190,11 +194,13 @@ object Extended7 {
       |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
-      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |wdf AS (SELECT doc_id, term, tf,
+      |               COUNT(*) OVER (PARTITION BY term) AS df
+      |        FROM tf),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
       |SELECT doc_id, term, tf, df,
       |       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
-      |FROM tf JOIN df USING (term), n
+      |FROM wdf, n
       |WHERE tf >= 6
       |ORDER BY doc_id, term""".stripMargin
 
