@@ -117,13 +117,60 @@ object Extended9 {
       |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Dynamic-gap session windows: the inactivity gap depends on the
+    * event (clicks cool off in 10 min, views in 15, the rest in 30) —
+    * the per-row-gap session semantics Flink-style engines expose.
+    * `session_window(ts, CASE ...)` merges overlapping per-event
+    * windows; end = max end of the merged set. One shuffle on the
+    * session key. Oracle = running-max island formulation (a session
+    * breaks exactly when an event's start reaches the max end of
+    * everything before it).
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "click", "10 minutes")
+      .when(col("event_type") === "view", "15 minutes")
+      .otherwise("30 minutes")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"), col("total"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val q84Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         ts + CASE event_type WHEN 'click' THEN INTERVAL 10 MINUTES
+      |                              WHEN 'view' THEN INTERVAL 15 MINUTES
+      |                              ELSE INTERVAL 30 MINUTES END AS win_end
+      |  FROM events),
+      |m AS (
+      |  SELECT *, MAX(win_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              AS prev_max_end
+      |  FROM e),
+      |f AS (SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+      |                     THEN 1 ELSE 0 END AS is_new FROM m),
+      |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(win_end) AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_chunking"    -> (q81 _),
     "q82_time_bucket" -> (q82 _),
-    "q83_range_numeric" -> (q83 _))
+    "q83_range_numeric" -> (q83 _),
+    "q84_dynamic_session" -> (q84 _))
 
   val oracles: Map[String, String] = Map(
     "q81_chunking"    -> q81Sql,
     "q82_time_bucket" -> q82Sql,
-    "q83_range_numeric" -> q83Sql)
+    "q83_range_numeric" -> q83Sql,
+    "q84_dynamic_session" -> q84Sql)
 }
