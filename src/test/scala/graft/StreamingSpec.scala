@@ -284,6 +284,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.subsetOf(Set(1L, 3L, 5L)))
   }
 
+  test("reference payment pipeline end-to-end: JSONL file stream == batch") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    // The reference's whole surface in one run: JSON-lines wire format
+    // → schema'd decode with watermark → per-province tumbling-window
+    // sum → JSON sink codec, executed as a real multi-batch stream.
+    val recs = Seq(
+      """{"createTime": "2023-09-20 10:00:01", "orderId": 1, "payAmount": 10.50, "payPlatform": 0, "provinceId": 1}""",
+      """{"createTime": "2023-09-20 10:00:04", "orderId": 2, "payAmount": 2.25, "payPlatform": 1, "provinceId": 1}""",
+      """{"createTime": "2023-09-20 10:00:11", "orderId": 3, "payAmount": 7.00, "payPlatform": 0, "provinceId": 2}""",
+      """{"createTime": "2023-09-20 10:00:14", "orderId": 4, "payAmount": 1.75, "payPlatform": 1, "provinceId": 1}""",
+      """{"createTime": "2023-09-20 10:00:21", "orderId": 5, "payAmount": 4.00, "payPlatform": 0, "provinceId": 2}""")
+    val dir = Files.createTempDirectory("graft_pay_stream")
+    dir.toFile.deleteOnExit()
+    recs.grouped(3).zipWithIndex.foreach { case (chunk, i) =>
+      val f = Paths.get(dir.toString, f"pay$i%02d.jsonl")
+      Files.write(f, chunk.mkString("", "\n", "\n").getBytes,
+        StandardOpenOption.CREATE)
+      f.toFile.setLastModified(1000000L * (i + 1))
+    }
+
+    def pipeline(lines: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingQueries.jsonPaymentSource(spark, lines)
+        .groupBy(window(col("createTime"), "10 seconds").as("win"),
+          col("provinceId"))
+        .agg(sum(col("payAmount")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("pay_amount"))
+        .select(col("win.start").as("win_start"), col("provinceId"),
+          col("pay_amount"))
+
+    val streamed = pipeline(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(dir.toString))
+    val name = s"pay_sink_${System.nanoTime()}"
+    val q = streamed.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally { q.stop(); q.awaitTermination() }
+    val got = spark.table(name).collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView(name)
+
+    import spark.implicits._
+    val batch = pipeline(recs.toDF("value")).collect().map(_.toSeq).toSet
+    assert(got === batch)
+
+    // sink codec round-trips the aggregate rows as JSON objects
+    val sunk = graft.streaming.StreamingQueries.toJsonSink(
+      pipeline(recs.toDF("value"))).collect().map(_.getString(0))
+    assert(sunk.length === batch.size)
+    assert(sunk.forall(s => s.startsWith("{") && s.contains("\"provinceId\":")))
+  }
+
   test("json payment source decodes the reference wire format with watermark") {
     import spark.implicits._
     val lines = Seq(
