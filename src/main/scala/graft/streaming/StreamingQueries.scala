@@ -55,6 +55,11 @@ object StreamingQueries {
     val decoded = lines
       .select(from_json(col("value").cast("string"), schema).as("m"))
       .select(col("m.*"))
+      // malformed-record hygiene: an undecodable line (or one missing
+      // its event time) yields nulls from PERMISSIVE from_json; drop
+      // it here so downstream watermarks/windows never see a null
+      // event time — the dead-letter branch of a production pipeline.
+      .filter(col("createTime").isNotNull)
     if (decoded.isStreaming) decoded.withWatermark("createTime", allowedDelay)
     else decoded
   }

@@ -335,6 +335,39 @@ class StreamingSpec extends AnyFunSuite {
       pipeline(recs.toDF("value"))).collect().map(_.getString(0))
     assert(sunk.length === batch.size)
     assert(sunk.forall(s => s.startsWith("{") && s.contains("\"provinceId\":")))
+
+    // malformed lines are dropped at the source, not propagated as
+    // null-time rows into the windowed aggregate
+    val withJunk = recs ++ Seq("not json at all", """{"orderId": 99}""")
+    assert(pipeline(withJunk.toDF("value")).collect().map(_.toSeq).toSet
+      === batch)
+  }
+
+  test("foreachBatch sink writes every micro-batch exactly once") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_feb_stream").toFile
+    dir.deleteOnExit()
+    eventBatches.zipWithIndex.foreach { case (rows, i) => writeBatchFile(dir, i, rows) }
+    val outDir = Files.createTempDirectory("graft_feb_out").toString
+
+    // The arbitrary-sink escape hatch: foreachBatch hands each
+    // micro-batch to batch-writer code with its batch id — the id is
+    // the idempotency key a transactional sink dedups on after
+    // restart (same contract the file sink's transaction log uses).
+    val q = eventsFileStream(dir).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+
+    val written = spark.read.parquet(outDir)
+    assert(written.count() === eventBatches.map(_.size).sum)
+    assert(written.select("batch_id").distinct().count() >= 3)
+    assert(written.select("event_id").distinct().count()
+      === eventBatches.flatten.map(_._1).distinct.size)
   }
 
   test("json payment source decodes the reference wire format with watermark") {
