@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Extended7.queries ++
       graft.queries.Extended8.queries ++
       graft.queries.Extended9.queries ++
+      graft.queries.Extended10.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.Extended7.oracles ++
       graft.queries.Extended8.oracles ++
       graft.queries.Extended9.oracles ++
+      graft.queries.Extended10.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ninth extension batch (SURVEY.md §2 q85–q86): shared-span
+  * detection (substring-level dedup) and single-pass column
+  * profiling.
+  */
+object Extended10 {
+
+  // ---------------------------------------------------------------- q85
+  /** Shared-span detection: 16-token spans appearing in more than one
+    * document — the substring-dedup primitive that catches copied
+    * paragraphs inside otherwise-distinct documents (doc-level
+    * MinHash misses these below its Jaccard threshold). Explode the
+    * per-doc DISTINCT span set, one partial-agg shuffle on the span,
+    * keep spans with >1 distinct doc. At 100 TB the exchange carries
+    * (span-hash, doc_id) pairs — in production you'd ship
+    * `xxhash64(span)` instead of the text (collision-checked), same
+    * plan; text here so the oracle can reproduce it.
+    */
+  private val SpanTokens = 16
+
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordNGrams(col("toks"), SpanTokens)))
+          .as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("span")
+
+  private val q85Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(t) - ${SpanTokens - 2}),
+       |           i -> array_to_string(t[i:i+${SpanTokens - 1}], ' ')))) AS span
+       |  FROM toks WHERE len(t) >= $SpanTokens)
+       |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY span""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Single-pass column profiling (the dataframe `describe` surface):
+    * null count and exact distinct count per column of `events`, one
+    * scan + one aggregate row unpivoted with `stack`. At 100 TB the
+    * exact COUNT(DISTINCT) pairs become `approx_count_distinct`
+    * sketches (mergeable map-side) — same plan, sketch instead of
+    * exact; exact here so DuckDB reproduces it.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    val stackExpr = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct")
+      .mkString(s"stack(${cols.size}, ", ", ", ") as (column_name, n_nulls, n_distinct)")
+    Tables.events(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy("column_name")
+  }
+
+  private val q86Sql =
+    """SELECT column_name, n_nulls, n_distinct FROM (
+      |  SELECT 'event_id' AS column_name,
+      |         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |         COUNT(DISTINCT event_id) AS n_distinct FROM events
+      |  UNION ALL
+      |  SELECT 'user_id',
+      |         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         COUNT(DISTINCT user_id) FROM events
+      |  UNION ALL
+      |  SELECT 'event_type',
+      |         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         COUNT(DISTINCT event_type) FROM events
+      |  UNION ALL
+      |  SELECT 'value',
+      |         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         COUNT(DISTINCT value) FROM events)
+      |ORDER BY column_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_shared_spans" -> (q85 _),
+    "q86_profile"      -> (q86 _))
+
+  val oracles: Map[String, String] = Map(
+    "q85_shared_spans" -> q85Sql,
+    "q86_profile"      -> q86Sql)
+}
