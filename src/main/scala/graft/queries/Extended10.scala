@@ -92,11 +92,70 @@ object Extended10 {
       |         COUNT(DISTINCT value) FROM events)
       |ORDER BY column_name""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** PMI collocation scoring: pointwise mutual information of word
+    * bigrams vs their unigram marginals — the corpus-statistics op
+    * behind phrase mining and tokenizer-merge candidates. Two
+    * corpus passes (unigram and bigram explosions have different
+    * shapes), each a map-side-combined count; the unigram table is
+    * vocabulary-sized and broadcast to the thresholded bigram table
+    * (at 100 TB a many-million-row vocab still broadcasts in
+    * hundreds of MB; beyond that, flip the two joins to shuffles on
+    * the word key — same plan otherwise).
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = docs.select(explode(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val bi = docs.filter(size(col("toks")) >= 2)
+      .select(explode(T.wordNGrams(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 30)
+      .withColumn("x", split(col("bigram"), " ")(0))
+      .withColumn("y", split(col("bigram"), " ")(1))
+    bi
+      .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log(col("n_tokens").cast("double") * col("c_xy") /
+          (col("c_x") * col("c_y"))), 6).as("pmi"))
+      .orderBy("bigram")
+  }
+
+  private val q87Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_tokens FROM uni),
+      |bc AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |           i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |bg AS (SELECT bigram, COUNT(*) AS c_xy FROM bc GROUP BY bigram
+      |       HAVING COUNT(*) >= 30)
+      |SELECT bigram, c_xy, cx.c AS c_x, cy.c AS c_y,
+      |       ROUND(ln(CAST(n_tokens AS DOUBLE) * c_xy / (cx.c * cy.c)), 6)
+      |         AS pmi
+      |FROM bg
+      |CROSS JOIN n
+      |JOIN uc cx ON string_split(bigram, ' ')[1] = cx.tok
+      |JOIN uc cy ON string_split(bigram, ' ')[2] = cy.tok
+      |ORDER BY bigram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_shared_spans" -> (q85 _),
-    "q86_profile"      -> (q86 _))
+    "q86_profile"      -> (q86 _),
+    "q87_collocations" -> (q87 _))
 
   val oracles: Map[String, String] = Map(
     "q85_shared_spans" -> q85Sql,
-    "q86_profile"      -> q86Sql)
+    "q86_profile"      -> q86Sql,
+    "q87_collocations" -> q87Sql)
 }
