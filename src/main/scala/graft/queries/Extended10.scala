@@ -149,13 +149,49 @@ object Extended10 {
       |JOIN uc cy ON string_split(bigram, ' ')[2] = cy.tok
       |ORDER BY bigram""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Schema-evolution union: merge two "shards" whose schemas drifted
+    * (the older extract lacks a column) via `unionByName(
+    * allowMissingColumns = true)` — name-based alignment with
+    * null-fill, the everyday shard-merging op `UNION ALL`'s
+    * positional semantics can't express. Row-local; the aggregate
+    * after it is one partial-agg shuffle.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val old = orders.filter(year(col("o_orderdate")) <= 1997)
+      .select(col("o_orderkey"), col("o_totalprice")) // pre-migration schema
+    val neu = orders.filter(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val q88Sql =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE year(o_orderdate) <= 1997
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE year(o_orderdate) >= 1998)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM u GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_shared_spans" -> (q85 _),
     "q86_profile"      -> (q86 _),
-    "q87_collocations" -> (q87 _))
+    "q87_collocations" -> (q87 _),
+    "q88_union_by_name" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
     "q85_shared_spans" -> q85Sql,
     "q86_profile"      -> q86Sql,
-    "q87_collocations" -> q87Sql)
+    "q87_collocations" -> q87Sql,
+    "q88_union_by_name" -> q88Sql)
 }
