@@ -183,15 +183,85 @@ object Extended10 {
       |FROM u GROUP BY o_orderpriority
       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Unpivot / melt: lineitem's three measure columns into long-form
+    * (measure, value) rows via the native `unpivot` operator — the
+    * inverse of q48's pivot and the wide→long reshape every metrics
+    * pipeline needs. Row-local 3× expansion, then one partial-agg
+    * shuffle on (returnflag, measure).
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy("l_returnflag", "measure")
+
+  private val q89Sql =
+    """WITH u AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+      |SELECT l_returnflag, measure, COUNT(*) AS n,
+      |       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM u GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** The SQL facade: the engine's tables registered as views and a
+    * correlated EXISTS + correlated scalar subquery run through
+    * `spark.sql` — the declarative entry point (the reference drives
+    * its engine through SQL-generating ibis). Catalyst decorrelates
+    * both subqueries into joins (aggregate-then-join for the scalar,
+    * semi-join for EXISTS) — no per-row re-execution at any scale.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |       CAST((SELECT COUNT(*) FROM orders_v o
+        |             WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val q90Sql =
+    """SELECT c.c_custkey, c.c_name,
+      |       (SELECT COUNT(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_shared_spans" -> (q85 _),
     "q86_profile"      -> (q86 _),
     "q87_collocations" -> (q87 _),
-    "q88_union_by_name" -> (q88 _))
+    "q88_union_by_name" -> (q88 _),
+    "q89_unpivot"      -> (q89 _),
+    "q90_sql_correlated" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
     "q85_shared_spans" -> q85Sql,
     "q86_profile"      -> q86Sql,
     "q87_collocations" -> q87Sql,
-    "q88_union_by_name" -> q88Sql)
+    "q88_union_by_name" -> q88Sql,
+    "q89_unpivot"      -> q89Sql,
+    "q90_sql_correlated" -> q90Sql)
 }
