@@ -57,8 +57,15 @@ object Bench {
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       val watchdog = new Thread(() => {
         try {
-          Thread.sleep(30000)
-          if (!done.get()) dumpStacks(name)
+          // repeat dumps while the query is stuck: successive stacks
+          // distinguish a livelock (same frames each time) from slow
+          // progress (frames advance), which one snapshot can't
+          var k = 0
+          while (k < 4) {
+            Thread.sleep(30000)
+            if (!done.get()) dumpStacks(s"$name +${30 * (k + 1)}s")
+            k += 1
+          }
         } catch { case _: InterruptedException => () }
       }, s"bench-watchdog-$name")
       watchdog.setDaemon(true)
