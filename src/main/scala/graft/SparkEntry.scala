@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Extended8.queries ++
       graft.queries.Extended9.queries ++
       graft.queries.Extended10.queries ++
+      graft.queries.Extended11.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.Extended8.oracles ++
       graft.queries.Extended9.oracles ++
       graft.queries.Extended10.oracles ++
+      graft.queries.Extended11.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
