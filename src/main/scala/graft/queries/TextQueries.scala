@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Hashing, TextFunctions => T}
+import graft.functions.{Hashing, SimHashSig, TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,23 +85,23 @@ object TextQueries {
     * and a fingerprint's wire format is a string anyway.
     */
   private def q33(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val d = Tables.documents(s, dir)
     // Bind `toks` as an attribute before the n-gram HOF (a lambda over
     // the raw tokenize expression re-runs the regex chain per n-gram).
     val hashes = Hashing.shingleHashes(T.wordNGrams(col("toks"), 3))
-    val perRow = d
-      .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
+    // SimHashSig is a plain scalar expression (null on empty input), so
+    // all three fingerprint components compute in ONE map-side pass —
+    // no second scan, no join: a fingerprint stage at 100 TB is
+    // scan-bound or it's wrong.
+    val simhash = GraftSqlBridge.column(
+      SimHashSig(GraftSqlBridge.expression(col("toks"))))
+    d.select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         xxhash64(T.normText(col("text"))).as("content_hash"),
-        to_json(Hashing.kMinSketch(hashes, 8)).as("kmin_sketch"))
-    val sims = Hashing.simHashes(
-      d.select(col("doc_id"), T.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 1),
-      "doc_id", "toks")
-    perRow.join(sims, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("content_hash"), col("kmin_sketch"),
-        coalesce(col("simhash"), lit(0L)).as("simhash"))
+        to_json(Hashing.kMinSketch(hashes, 8)).as("kmin_sketch"),
+        coalesce(simhash, lit(0L)).as("simhash"))
       .orderBy("doc_id")
   }
 
