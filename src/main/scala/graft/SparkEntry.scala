@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Extended9.queries ++
       graft.queries.Extended10.queries ++
       graft.queries.Extended11.queries ++
+      graft.queries.Extended12.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.Extended9.oracles ++
       graft.queries.Extended10.oracles ++
       graft.queries.Extended11.oracles ++
+      graft.queries.Extended12.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

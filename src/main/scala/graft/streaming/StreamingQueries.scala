@@ -278,6 +278,41 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Stream-stream LEFT OUTER join — q57's shape with null emission for
+    * clicks that never see a purchase. The engine can only emit an
+    * unmatched left row once the watermark proves no match can still
+    * arrive: a click's join window is [click_ts, click_ts + 24 h], so
+    * its null row flushes when the global watermark (min over both
+    * sources, minus the 15 s delay) passes click_ts + 24 h. Clicks
+    * whose window is still open at drain are withheld — correct
+    * streaming semantics, NOT missing data — so the batch oracle
+    * applies the same final-watermark cutoff to its unmatched rows.
+    * State stays bounded exactly as in the inner join: each side
+    * retains ~(range + delay) of events.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "15 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 24 hours"""),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+    runToSnapshot(s, joined, "q98_sink", OutputMode.Append)
+      .orderBy("click_id", "purchase_id")
+  }
+
   // ---------------------------------------------------------------- q75
   /** Native session windows on a stream: per-user sessions closed by a
     * 30-minute inactivity gap — the dynamic-gap session window
@@ -307,7 +342,8 @@ object StreamingQueries {
     "q28_stream_tumble"      -> (q28 _),
     "q29_stream_range_state" -> (q29 _),
     "q47_stream_dedup"       -> (q47 _),
-    "q57_stream_stream_join" -> (q57 _))
+    "q57_stream_stream_join" -> (q57 _),
+    "q98_stream_left_join"   -> (q98 _))
 
   /** Streaming results are asserted identical to their batch forms, so
     * they reuse the batch oracle SQL (q27 / q20 / join shapes).
@@ -335,6 +371,23 @@ object StreamingQueries {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q98_stream_left_join" ->
+      """WITH wm AS (
+        |  SELECT LEAST(MAX(ts) FILTER (WHERE event_type = 'click'),
+        |               MAX(ts) FILTER (WHERE event_type = 'purchase'))
+        |         - INTERVAL 15 SECONDS AS w
+        |  FROM events),
+        |j AS (
+        |  SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |         a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |  FROM events a LEFT JOIN events b
+        |    ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
+        |  WHERE a.event_type = 'click')
+        |SELECT * FROM j
+        |WHERE purchase_id IS NOT NULL
+        |   OR click_ts + INTERVAL 24 HOURS < (SELECT w FROM wm)
         |ORDER BY click_id, purchase_id""".stripMargin,
     "q75_stream_session_window" ->
       """WITH e AS (
