@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Extended10.queries ++
       graft.queries.Extended11.queries ++
       graft.queries.Extended12.queries ++
+      graft.queries.Extended13.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Extended10.oracles ++
       graft.queries.Extended11.oracles ++
       graft.queries.Extended12.oracles ++
+      graft.queries.Extended13.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
