@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Extended11.queries ++
       graft.queries.Extended12.queries ++
       graft.queries.Extended13.queries ++
+      graft.queries.Extended14.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.Extended11.oracles ++
       graft.queries.Extended12.oracles ++
       graft.queries.Extended13.oracles ++
+      graft.queries.Extended14.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

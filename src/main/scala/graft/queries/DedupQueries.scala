@@ -166,7 +166,10 @@ object DedupQueries {
     * pruned fetch instead of cached — a second scan-bound map pass
     * beats materializing a corpus-sized array column.
     */
-  private def q35(s0: SparkSession, dir: String): DataFrame = {
+  /** q35's verified pair set without the presentation sort — also the
+    * edge list consumed by q102's cluster assignment (Extended14).
+    */
+  private[queries] def nearDupPairs(s0: SparkSession, dir: String): DataFrame = {
     val s = dedupSession(s0)
     val sh = shingled2(s, dir)
     val sigs = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
@@ -179,8 +182,10 @@ object DedupQueries {
     attachFeatures(cands, sh, "doc_id", "shingles")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("a", "b")
   }
+
+  private def q35(s0: SparkSession, dir: String): DataFrame =
+    nearDupPairs(s0, dir).orderBy("a", "b")
 
   // ---------------------------------------------------------------- q36
   /** SimHash near-dup: 64-bit code per doc, Hamming ≤ 7 via 8×8-bit
@@ -302,7 +307,10 @@ object DedupQueries {
   private val tokSql =
     """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
 
-  private def gramJaccardSql(n: Int, thresh: Double): String =
+  /** Brute-force above-threshold pair SQL WITHOUT a final ORDER BY, so
+    * q102's cluster oracle can embed it as a CTE body.
+    */
+  private[queries] def gramJaccardPairsSql(n: Int, thresh: Double): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $tokSql AS toks FROM documents),
        |feats AS (
@@ -315,7 +323,10 @@ object DedupQueries {
        |         CAST(len(list_intersect(x.f, y.f)) AS DOUBLE) /
        |         CAST(len(list_distinct(list_concat(x.f, y.f))) AS DOUBLE) AS jaccard
        |  FROM feats x JOIN feats y ON x.doc_id < y.doc_id)
-       |WHERE jaccard >= $thresh ORDER BY a, b""".stripMargin
+       |WHERE jaccard >= $thresh""".stripMargin
+
+  private def gramJaccardSql(n: Int, thresh: Double): String =
+    gramJaccardPairsSql(n, thresh) + "\nORDER BY a, b"
 
   val oracles: Map[String, String] = Map(
     "q34_dedup_exact"   -> q34Sql,

@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Thirteenth extension batch (SURVEY.md §2 q102–q107): dedup cluster
+  * assignment (connected components over the near-dup pair graph),
+  * funnel + retention cohort analytics, struct-typed columns, grouped
+  * outlier detection, and explicit GROUPING SETS.
+  */
+object Extended14 {
+
+  // --------------------------------------------------------------- q102
+  /** Dedup CLUSTER assignment: near-dup PAIRS (q35's verified
+    * MinHash-LSH output) promoted to per-doc cluster ids — the step a
+    * real dedup pipeline needs before it can keep one canonical doc
+    * per group (pairs alone can't answer "which docs are mutual
+    * near-dups via a chain A~B~C").
+    *
+    * Algorithm: min-label propagation to a fixpoint — every node
+    * starts as its own label; each round, a node takes the min of its
+    * own and its neighbors' labels; converges in O(component diameter)
+    * rounds. Near-dup components are short chains (diameter ≤ a few),
+    * so rounds stay in low single digits; each round is ONE shuffle of
+    * (id, label) rows sized by the edge list — never the corpus, never
+    * feature arrays. Per-round `localCheckpoint` cuts the lineage so
+    * round k+1 re-reads round k's materialized labels, not the whole
+    * history (the same iterative-convergence shape GraphX's connected
+    * components uses; for planet-scale graphs with long chains you'd
+    * switch to the large-star/small-star algorithm, which contracts
+    * star centers and converges in O(log n) rounds).
+    *
+    * Output: one row per doc that appears in any near-dup pair, its
+    * cluster id (= min doc_id reachable), the cluster size, and the
+    * canonical-keeper flag. Oracle: DuckDB recursive-CTE transitive
+    * closure over the same brute-force pair set q35's oracle uses.
+    */
+  private def q102(s0: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.nearDupPairs(s0, dir)
+      .select(col("a"), col("b")).localCheckpoint()
+    val nbr = pairs.union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
+    var labels = nbr.select(col("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = nbr
+        .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
+        .select(col("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl")).union(prop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")).localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q102Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |${DedupQueries.gramJaccardPairsSql(2, 0.5)}
+       |),
+       |edges AS (
+       |  SELECT a AS id, b AS nb FROM pairs
+       |  UNION ALL
+       |  SELECT b AS id, a AS nb FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM edges
+       |  UNION
+       |  SELECT e.id, w.lbl FROM edges e JOIN walk w ON w.id = e.nb),
+       |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       id = cluster_id AS is_keeper
+       |FROM comp ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q103
+  /** Ordered conversion funnel: signup → view → click → purchase,
+    * each stage's timestamp required at-or-after the previous stage's
+    * FIRST occurrence. Four per-user min-aggregates chained by joins:
+    * after the first aggregation every subsequent input is one row per
+    * user, so only the first stage shuffles event-sized data — the
+    * standard scalable funnel shape (per-user sort-and-scan buys
+    * nothing here since only first-occurrence times matter).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "view").join(t1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "click").join(t2, "user_id")
+      .filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val t4 = e.filter(col("event_type") === "purchase").join(t3, "user_id")
+      .filter(col("ts") >= col("t3"))
+      .groupBy("user_id").agg(min(col("ts")).as("t4"))
+    t1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+      .unionAll(t2.agg(count(lit(1)).as("n_users")).select(lit("2_view").as("stage"), col("n_users")))
+      .unionAll(t3.agg(count(lit(1)).as("n_users")).select(lit("3_click").as("stage"), col("n_users")))
+      .unionAll(t4.agg(count(lit(1)).as("n_users")).select(lit("4_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  private val q103Sql =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t1
+      |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t2
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t4 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+      |  JOIN t3 ON e.user_id = t3.user_id AND e.ts >= t3.t3
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM t1
+      |  UNION ALL SELECT '2_view', COUNT(*) FROM t2
+      |  UNION ALL SELECT '3_click', COUNT(*) FROM t3
+      |  UNION ALL SELECT '4_purchase', COUNT(*) FROM t4)
+      |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------- q104
+  /** Retention cohort matrix: users grouped by first-seen day, counted
+    * on each subsequent active day offset. One event-sized aggregation
+    * to (user, day), one tiny per-user cohort aggregate joined back on
+    * user_id, then a cohort×offset count — the exchange after the
+    * first distinct is user-sized, not event-sized.
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  private val q104Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS offset_days,
+      |       COUNT(*) AS n_users
+      |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin
+
+  // --------------------------------------------------------------- q105
+  /** Struct-typed columns as a user operator: per customer, the top-3
+    * orders by price carried as an array of (price, key) STRUCTS —
+    * built with `struct`, ordered by `array_sort`'s field-order struct
+    * comparison, field-extracted with a lambda. The struct array stays
+    * bounded (3 per group) and ships as JSON (array-typed result
+    * columns crash the driver's comparator; same rule as q49).
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        slice(reverse(array_sort(collect_list(
+          struct(col("o_totalprice"), col("o_orderkey"))))), 1, 3).as("top"),
+        count(lit(1)).cast("int").as("n_orders"))
+      .select(
+        col("o_custkey"),
+        to_json(transform(col("top"), x => x.getField("o_orderkey")))
+          .as("top3_keys"),
+        round(element_at(col("top"), 1).getField("o_totalprice"), 2)
+          .as("best_price"),
+        col("n_orders"))
+      .orderBy("o_custkey")
+
+  private val q105Sql =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM orders)
+      |SELECT o_custkey,
+      |       CAST(to_json(list(o_orderkey ORDER BY rn)) AS VARCHAR) AS top3_keys,
+      |       ROUND(MAX(CASE WHEN rn = 1 THEN o_totalprice END), 2) AS best_price,
+      |       CAST(MAX(n_orders) AS INT) AS n_orders
+      |FROM r WHERE rn <= 3
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q106
+  /** Grouped outlier detection: per-event-type z-score over `value`,
+    * keep |z| ≥ 2.5 — the numeric-quality gate of a data pipeline.
+    * Mean/stddev come from ONE Window pass per type (at 100 TB you'd
+    * compute the 5-row moment table with a partial agg and broadcast
+    * it; the window form keeps it a single operator here and the
+    * exchange is the same single shuffle on the type key either way).
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("z",
+        (col("value") - avg(col("value")).over(w)) /
+          stddev_samp(col("value")).over(w))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 3).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val q106Sql =
+    """SELECT event_id, event_type, value, ROUND(z, 3) AS z FROM (
+      |  SELECT event_id, event_type, value,
+      |         (value - AVG(value) OVER (PARTITION BY event_type)) /
+      |         stddev_samp(value) OVER (PARTITION BY event_type) AS z
+      |  FROM events)
+      |WHERE ABS(z) >= 2.5 ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- q107
+  /** Explicit GROUPING SETS — the arbitrary-subtotal generalization
+    * rollup (q24/q91) and cube (q50) specialize: exactly the listed
+    * combinations, disambiguated with `grouping()` markers. Spark
+    * expands the sets into one Expand + partial-agg shuffle, same as
+    * rollup.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("total_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q107Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY g_flag, g_status,
+      |         l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_dedup_cluster" -> (q102 _),
+    "q103_funnel"        -> (q103 _),
+    "q104_retention"     -> (q104 _),
+    "q105_struct_topn"   -> (q105 _),
+    "q106_outlier_zscore" -> (q106 _),
+    "q107_grouping_sets" -> (q107 _))
+
+  val oracles: Map[String, String] = Map(
+    "q102_dedup_cluster" -> q102Sql,
+    "q103_funnel"        -> q103Sql,
+    "q104_retention"     -> q104Sql,
+    "q105_struct_topn"   -> q105Sql,
+    "q106_outlier_zscore" -> q106Sql,
+    "q107_grouping_sets" -> q107Sql)
+}

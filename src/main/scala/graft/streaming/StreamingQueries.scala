@@ -313,6 +313,29 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  // --------------------------------------------------------------- q108
+  /** Stream-static join: the streaming enrichment pattern — a purchase
+    * stream joined per micro-batch to a STATIC dimension table
+    * (customer → nation). Stateless: the static side is re-planned
+    * into each micro-batch as an ordinary broadcast hash join, so no
+    * join state accumulates at all (unlike q57/q98's stream-stream
+    * state) and the stream side never shuffles. This is the shape for
+    * enriching a 100 TB/day stream against reference data.
+    */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val cust = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey")))
+    val joined = purchases
+      .join(cust, purchases("user_id") === cust("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_nationkey"),
+        col("value"))
+    runToSnapshot(s, joined, "q108_sink", OutputMode.Append)
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- q75
   /** Native session windows on a stream: per-user sessions closed by a
     * 30-minute inactivity gap — the dynamic-gap session window
@@ -343,7 +366,8 @@ object StreamingQueries {
     "q29_stream_range_state" -> (q29 _),
     "q47_stream_dedup"       -> (q47 _),
     "q57_stream_stream_join" -> (q57 _),
-    "q98_stream_left_join"   -> (q98 _))
+    "q98_stream_left_join"   -> (q98 _),
+    "q108_stream_static_join" -> (q108 _))
 
   /** Streaming results are asserted identical to their batch forms, so
     * they reuse the batch oracle SQL (q27 / q20 / join shapes).
@@ -389,6 +413,11 @@ object StreamingQueries {
         |WHERE purchase_id IS NOT NULL
         |   OR click_ts + INTERVAL 24 HOURS < (SELECT w FROM wm)
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q108_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_nationkey, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q75_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
