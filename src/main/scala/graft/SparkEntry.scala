@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Extended12.queries ++
       graft.queries.Extended13.queries ++
       graft.queries.Extended14.queries ++
+      graft.queries.Extended15.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.Extended12.oracles ++
       graft.queries.Extended13.oracles ++
       graft.queries.Extended14.oracles ++
+      graft.queries.Extended15.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

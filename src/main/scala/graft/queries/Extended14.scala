@@ -41,6 +41,15 @@ object Extended14 {
   private def q102(s0: SparkSession, dir: String): DataFrame = {
     val pairs = DedupQueries.nearDupPairs(s0, dir)
       .select(col("a"), col("b")).localCheckpoint()
+    // The label loop iterates over the verified PAIR set — orders of
+    // magnitude smaller than the corpus (it is the near-dup rate). Its
+    // per-round shuffles would otherwise inherit the corpus-sized
+    // partition count and pay ~rounds × partitions of task overhead
+    // for KB of data; scope the loop to a few partitions. (`pairs` is
+    // already materialized, so this conf change on the dedup child
+    // session can't affect the blocking/verify stages above. At real
+    // scale, size this to the pair volume instead.)
+    pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", "4")
     val nbr = pairs.union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
     var labels = nbr.select(col("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
