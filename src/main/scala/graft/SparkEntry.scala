@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Extended13.queries ++
       graft.queries.Extended14.queries ++
       graft.queries.Extended15.queries ++
+      graft.queries.Extended16.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.Extended13.oracles ++
       graft.queries.Extended14.oracles ++
       graft.queries.Extended15.oracles ++
+      graft.queries.Extended16.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

@@ -48,6 +48,23 @@ class Extended14Spec extends AnyFunSuite {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("q111 apply: kept set = corpus minus exact copies minus non-keepers") {
+    val total = Tables.documents(spark, sf).count()
+    val kept = SparkEntry.queries("q111_dedup_apply")(spark, sf).collect()
+    val report = SparkEntry.queries("q112_dedup_report")(spark, sf)
+      .collect().head
+    assert(report.getLong(0) == total)
+    assert(report.getLong(4) == kept.length.toLong)
+    // kept docs contain every cluster keeper and no non-keeper
+    val clusters = SparkEntry.queries("q102_dedup_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val keptIds = kept.map(_.getLong(0)).toSet
+    clusters.foreach { case (id, isKeeper) =>
+      if (!isKeeper) assert(!keptIds.contains(id))
+    }
+    assert(kept.length < total) // testdata has planted dups
+  }
+
   test("q103 funnel stage counts are monotonically non-increasing") {
     val out = SparkEntry.queries("q103_funnel")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
