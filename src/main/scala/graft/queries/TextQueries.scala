@@ -111,7 +111,36 @@ object TextQueries {
     "q32_langid"       -> (q32 _),
     "q33_fingerprint"  -> (q33 _))
 
+  /** q32's heuristic is deterministic and fully SQL-expressible, so it
+    * gets a real oracle: the CASE order replicates langId's foldLeft
+    * tie-break nesting (de, then en, then es, then fr) and `\x{...}`
+    * is RE2's spelling of the CJK range.
+    */
+  private val q32Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang AS tagged_lang, text,
+      |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, tagged_lang, text,
+      |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+      |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS de,
+      |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS fr,
+      |    len(list_filter(toks, t -> t IN ('el','la','los','las','es','un','una','que','de','por'))) AS es,
+      |    length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CASE WHEN cjk * 5 > length(text) THEN 'zh'
+      |       WHEN greatest(en,de,fr,es) = 0 THEN 'unknown'
+      |       WHEN de = greatest(en,de,fr,es) THEN 'de'
+      |       WHEN en = greatest(en,de,fr,es) THEN 'en'
+      |       WHEN es = greatest(en,de,fr,es) THEN 'es'
+      |       ELSE 'fr' END AS pred_lang,
+      |  tagged_lang
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q30_text_quality" -> q30Sql,
-    "q31_tokens"       -> q31Sql)
+    "q31_tokens"       -> q31Sql,
+    "q32_langid"       -> q32Sql)
 }
