@@ -137,6 +137,22 @@ object MicroBench {
       emb.select(sum(codeCols.reduce(_ + _))).collect()
     }
 
+    // ---- word n-grams: native kernel vs interpreted HOF ------------
+    val tokDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .crossJoin(spark.range(4).select(col("id").as("rep")))
+      .repartition(32).persist()
+    val nTok = tokDocs.count()
+    bench("word2grams", "native WordNGramsExpr", nTok) {
+      tokDocs.select(sum(size(T.wordNGrams(col("toks"), 2)))).collect()
+    }
+    bench("word2grams", "HOF transform+slice+concat_ws", nTok) {
+      tokDocs.select(sum(size(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 2, lit(-1))),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))))).collect()
+    }
+    tokDocs.unpersist()
+
     // ---- tokenize+shingle pipeline throughput (no alternative) -----
     val rawDocs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))

@@ -38,18 +38,19 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpePattern), lit(0)))
 
-  /** Word n-grams (as strings) over the token array.
-    *
-    * CALLER CONTRACT: pass a BOUND attribute (a column materialized by
-    * a prior select), not a raw expression like `tokens(col("text"))`
-    * — the lambda body references `toks` per element, and an inline
-    * expression would re-evaluate its whole chain once per n-gram
-    * (interpreted, no CSE; measured 10× a bound pass at sf0.1).
+  /** Word n-grams (as strings) over the token array — one native
+    * kernel pass ([[WordNGramsExpr]]). The previous HOF formulation
+    * (`transform(sequence, slice + concat_ws)`) interpreted a slice +
+    * concat expression tree per position and additionally re-evaluated
+    * an unbound `toks` argument per element; the native expression
+    * evaluates its child exactly once, so the old bound-attribute
+    * caller contract is gone too.
     */
-  def wordNGrams(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  def wordNGrams(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      WordNGramsExpr(GraftSqlBridge.expression(toks), n))
+  }
 
   private val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
