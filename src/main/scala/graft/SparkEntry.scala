@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.Extended14.queries ++
       graft.queries.Extended15.queries ++
       graft.queries.Extended16.queries ++
+      graft.queries.Extended17.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.Extended14.oracles ++
       graft.queries.Extended15.oracles ++
       graft.queries.Extended16.oracles ++
+      graft.queries.Extended17.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
