@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Extended15.queries ++
       graft.queries.Extended16.queries ++
       graft.queries.Extended17.queries ++
+      graft.queries.Extended18.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.Extended15.oracles ++
       graft.queries.Extended16.oracles ++
       graft.queries.Extended17.oracles ++
+      graft.queries.Extended18.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

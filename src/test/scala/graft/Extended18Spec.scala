@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for q115–q117 (oracle hashes are the primary gate). */
+class Extended18Spec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("q115 group_concat lists every nation exactly once, sorted") {
+    val out = SparkEntry.queries("q115_string_agg")(spark, sf).collect()
+    val byRegion = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").collect()
+      .groupBy(_.getString(0)).map { case (r, rows) =>
+        r -> rows.map(_.getString(1)).sorted.mkString(",")
+      }
+    out.foreach { r =>
+      assert(r.getString(1) == byRegion(r.getString(0)))
+      assert(r.getInt(2) == r.getString(1).split(",").length)
+    }
+  }
+
+  test("q116 bit aggregates bound each other") {
+    val out = SparkEntry.queries("q116_bit_agg")(spark, sf).collect()
+    out.foreach { r =>
+      val (and, or) = (r.getLong(1), r.getLong(2))
+      assert((and & or) == and) // AND ⊆ OR as bit sets
+      assert(or < 256 && and >= 0)
+    }
+  }
+
+  test("q117 mode equals a brute-force count") {
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("int")).collect()
+      .groupBy(_.getString(0))
+    val out = SparkEntry.queries("q117_mode")(spark, sf).collect()
+    out.foreach { r =>
+      val counts = vals(r.getString(0)).groupBy(_.getInt(1))
+        .map { case (q, rs) => (q, rs.length.toLong) }
+      val best = counts.toSeq.sortBy { case (q, c) => (-c, q) }.head
+      assert(r.getInt(1) == best._1 && r.getLong(2) == best._2)
+    }
+  }
+}
