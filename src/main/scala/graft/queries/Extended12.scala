@@ -135,7 +135,9 @@ object Extended12 {
         round(abs(col("value") - 250), 6).as("abs_c"),
         round(sqrt(col("value")), 6).as("sqrt_v"),
         round(log(col("value") + 1), 6).as("ln_v"),
-        round(log10(col("value")), 6).as("log10_v"),
+        // +1 guards the testdata's occasional exact-0 value: LOG10(0)
+        // is an error in ANSI engines (bit at sf0.1; sf0.01 never hit it)
+        round(log10(col("value") + 1), 6).as("log10_v"),
         round(exp(col("value") / 500), 6).as("exp_v"),
         round(pow(col("value"), 2), 4).as("pow_v"),
         signum(col("value") - 250).cast("int").as("sign_c"),
@@ -156,7 +158,7 @@ object Extended12 {
       |  ROUND(ABS(value - 250), 6) AS abs_c,
       |  ROUND(SQRT(value), 6) AS sqrt_v,
       |  ROUND(LN(value + 1), 6) AS ln_v,
-      |  ROUND(LOG10(value), 6) AS log10_v,
+      |  ROUND(LOG10(value + 1), 6) AS log10_v,
       |  ROUND(EXP(value / 500), 6) AS exp_v,
       |  ROUND(POWER(value, 2), 4) AS pow_v,
       |  CAST(SIGN(value - 250) AS INT) AS sign_c,
