@@ -23,6 +23,33 @@ class TextSpec extends AnyFunSuite {
         s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("WordNGramsExpr: values equal the HOF formulation; size<n is empty") {
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("x", "y"),
+      Seq("solo"),
+      Seq.empty[String]).toDF("toks")
+    // native kernel
+    val native = df.select(T.wordNGrams(col("toks"), 2).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(native(0) == List("a b", "b c", "c d"))
+    assert(native(1) == List("x y"))
+    assert(native(2) == Nil) // size < n → empty (HOF errored here)
+    assert(native(3) == Nil)
+    // parity with the HOF it replaced, where the HOF is defined
+    val hof = df.filter(size(col("toks")) >= 3)
+      .select(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 2, lit(-1))),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(hof(0) == native(0))
+    // trigrams
+    val tri = df.select(T.wordNGrams(col("toks"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(tri(0) == List("a b c", "b c d"))
+    assert(tri(1) == Nil)
+  }
+
   test("token counts: whitespace trick equals split semantics on normal text") {
     val df = Seq("one two three", "  padded   spaces  ", "single", "")
       .toDF("text")
