@@ -29,7 +29,10 @@ object Extended16 {
     val dropNear = Extended14.clusterLabels(s, dir)
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"))
-    exactKeep.join(dropNear, Seq("doc_id"), "left_anti")
+    // the drop set is candidate-sized (near-dup rate, already
+    // materialized as a leaf RDD) — broadcast it so the corpus side
+    // of the anti-join never shuffles
+    exactKeep.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
   }
 
   // --------------------------------------------------------------- q111
