@@ -83,7 +83,7 @@ object StreamingQueries {
     val q =
       try {
         s.conf.set("spark.sql.shuffle.partitions",
-          math.min(8, prev.toInt).toString)
+          math.min(4, prev.toInt).toString)
         df.writeStream.outputMode(mode).format("memory")
           .queryName(name).start()
       } finally {
