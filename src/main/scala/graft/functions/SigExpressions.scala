@@ -119,6 +119,54 @@ case class WordNGramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Canonical word tokenizer as one native pass, value-identical to
+  * `split(regexp_replace(trim(lower(text)), "\\s+", " "), " ")` — the
+  * tokenize chain every text/dedup query begins with (three regex/
+  * string passes collapsed into one byte scan). The contortions of
+  * the original chain are reproduced exactly:
+  *  - `lower` via UTF8String.toLowerCase (what Spark's Lower does);
+  *  - `trim` strips ONLY 0x20 spaces (Spark's StringTrim default);
+  *  - whitespace = Java regex `\s` = the six ASCII chars
+  *    [ \t\n\x0B\f\r]; runs collapse to one separator;
+  *  - a run of non-space whitespace touching the (space-trimmed)
+  *    string edge yields an EMPTY edge token, and an empty/all-space
+  *    input yields [""] — both exactly what replace-then-split does.
+  */
+case class TokenizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokenize"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  override def nullSafeEval(v: Any): Any = {
+    val lowered = v.asInstanceOf[UTF8String].toLowerCase
+    val bytes = lowered.getBytes
+    var i = 0
+    var j = bytes.length
+    while (i < j && bytes(i) == ' ') i += 1
+    while (j > i && bytes(j - 1) == ' ') j -= 1
+    if (i == j) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = i
+    var k = i
+    while (k < j) {
+      if (isWs(bytes(k))) {
+        out += UTF8String.fromBytes(bytes, start, k - start)
+        while (k < j && isWs(bytes(k))) k += 1
+        start = k
+      } else k += 1
+    }
+    out += UTF8String.fromBytes(bytes, start, j - start)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash code: 64-bit long — bit i set iff the Σ±1 vote of bit i
   * over all shingle hashes is ≥ 0. Null for an empty shingle array.
   */
