@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, MinHashSig, SimHashSig, SrpCode}
+import graft.functions.{CosineSim, MinHashSig, SimHashSig, SrpCode, TokenizeExpr, WordNGramsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.srpCodeDescriptor)
     e.injectFunction(GraftExtensions.minHashSigDescriptor)
     e.injectFunction(GraftExtensions.simHashSigDescriptor)
+    e.injectFunction(GraftExtensions.tokenizeDescriptor)
+    e.injectFunction(GraftExtensions.wordNGramsDescriptor)
   }
 }
 
@@ -54,6 +56,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
     (args: Seq[Expression]) => SimHashSig(args.head))
 
+  private[plans] val tokenizeDescriptor = (
+    FunctionIdentifier("graft_tokenize"),
+    new ExpressionInfo(classOf[TokenizeExpr].getName, "graft_tokenize"),
+    (args: Seq[Expression]) => TokenizeExpr(args.head))
+
+  private[plans] val wordNGramsDescriptor = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[WordNGramsExpr].getName, "word_ngrams"),
+    (args: Seq[Expression]) => WordNGramsExpr(args.head, intArg(args(1), "n")))
+
   /** Register the functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -69,5 +81,10 @@ object GraftExtensions {
       args => MinHashSig(args.head, intArg(args(1), "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", args => SimHashSig(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokenize", args => TokenizeExpr(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams",
+      args => WordNGramsExpr(args.head, intArg(args(1), "n")), "built-in")
   }
 }

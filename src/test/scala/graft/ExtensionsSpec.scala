@@ -17,6 +17,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](1).length === 4)
   }
 
+  test("graft_tokenize and word_ngrams are callable from SQL, match Column API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val sqlOut = spark.sql(
+      """SELECT word_ngrams(graft_tokenize('The  quick Brown fox'), 2) AS g"""
+    ).collect().head.getSeq[String](0).toList
+    assert(sqlOut == List("the quick", "quick brown", "brown fox"))
+    val viaCols = Tables.documents(spark, SparkTestSession.sf).limit(10)
+      .select(T.wordNGrams(T.tokens(col("text")), 2).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    Tables.documents(spark, SparkTestSession.sf).limit(10)
+      .createOrReplaceTempView("docs10")
+    val viaSql = spark.sql(
+      "SELECT word_ngrams(graft_tokenize(text), 2) AS g FROM docs10")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(viaCols.toSeq == viaSql.toSeq)
+  }
+
   test("minhash_sig and simhash_sig SQL output matches the DataFrame stages") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
