@@ -153,12 +153,22 @@ object MicroBench {
     }
     tokDocs.unpersist()
 
-    // ---- tokenize+shingle pipeline throughput (no alternative) -----
+    // ---- tokenize: native byte-scan vs three-regex chain -----------
     val rawDocs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .crossJoin(spark.range(4).select(col("id").as("rep")))
       .repartition(32).persist()
     val nRaw = rawDocs.count()
+    bench("tokenize", "native TokenizeExpr", nRaw) {
+      rawDocs.select(sum(size(T.tokens(col("text"))))).collect()
+    }
+    bench("tokenize", "lower+trim+regexp_replace+split", nRaw) {
+      rawDocs.select(sum(size(
+        split(regexp_replace(trim(lower(col("text"))), "\\s+", " "), " ")
+      ))).collect()
+    }
+
+    // ---- tokenize+shingle pipeline throughput (no alternative) -----
     bench("shingle2", "tokens+ngrams+distinct", nRaw) {
       rawDocs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
         .select(sum(size(array_distinct(T.wordNGrams(col("toks"), 2)))))
