@@ -34,6 +34,7 @@ object SparkEntry {
       graft.queries.Extended16.queries ++
       graft.queries.Extended17.queries ++
       graft.queries.Extended18.queries ++
+      graft.queries.Extended19.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.Extended16.oracles ++
       graft.queries.Extended17.oracles ++
       graft.queries.Extended18.oracles ++
+      graft.queries.Extended19.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

@@ -31,6 +31,20 @@ class Extended18Spec extends AnyFunSuite {
     }
   }
 
+  test("q118 quantization: codes span [0,255], extremes map to the rails") {
+    val out = SparkEntry.queries("q118_embed_quantize")(spark, sf).collect()
+    assert(out.length == Tables.embeddings(spark, sf).count())
+    val codes = out.map(r => r.getString(1).stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.toInt))
+    codes.foreach(cs => cs.foreach(c => assert(c >= 0 && c <= 255)))
+    // each dimension's min maps to 0 and max to 255 somewhere
+    val dims = codes.head.length
+    (0 until dims).foreach { d =>
+      val col = codes.map(_(d))
+      assert(col.min == 0 && col.max == 255)
+    }
+  }
+
   test("q117 mode equals a brute-force count") {
     val vals = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_quantity").cast("int")).collect()
