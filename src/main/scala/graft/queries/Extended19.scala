@@ -58,9 +58,57 @@ object Extended19 {
       |       CAST(to_json(list(q ORDER BY dim)) AS VARCHAR) AS codes
       |FROM coded GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** Map higher-order functions as user operators: transform_values /
+    * map_filter / map_zip_with over a per-order (linenumber → qty)
+    * map (q69 covers construction/lookup; this is the lambda
+    * surface). Quantities pre-aggregated per (order, linenumber) so
+    * map keys are unique under ANSI's EXCEPTION dedup policy; maps
+    * built from SORTED entry lists so entry order — which to_json
+    * exposes — is deterministic on both engines.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_linenumber").as("key"))
+      .agg(sum(col("l_quantity").cast("int")).cast("int").as("value"))
+    val m = base.groupBy("l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("key"), col("value"))))).as("qty_map"))
+    m.select(col("l_orderkey"),
+        to_json(map_entries(col("qty_map"))).as("qty_entries"),
+        to_json(map_entries(
+          transform_values(col("qty_map"), (_, v) => v * 2))).as("doubled"),
+        to_json(map_entries(
+          map_filter(col("qty_map"), (k, _) => k % 2 === 0))).as("evens"),
+        to_json(map_entries(map_zip_with(
+          col("qty_map"),
+          transform_values(col("qty_map"), (_, v) => v * 2),
+          (_, a, b) => a + b))).as("zipped"))
+      .orderBy("l_orderkey")
+  }
+
+  private val q119Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber AS k,
+      |         CAST(SUM(CAST(l_quantity AS INT)) AS INT) AS v
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_orderkey, list({'key': k, 'value': v} ORDER BY k) AS entries
+      |  FROM base GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(to_json(entries) AS VARCHAR) AS qty_entries,
+      |  CAST(to_json(list_transform(entries,
+      |       e -> {'key': e.key, 'value': e.value * 2})) AS VARCHAR) AS doubled,
+      |  CAST(to_json(list_filter(entries, e -> e.key % 2 = 0)) AS VARCHAR) AS evens,
+      |  CAST(to_json(list_transform(entries,
+      |       e -> {'key': e.key, 'value': e.value * 3})) AS VARCHAR) AS zipped
+      |FROM m ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q118_embed_quantize" -> (q118 _))
+    "q118_embed_quantize" -> (q118 _),
+    "q119_map_hofs"       -> (q119 _))
 
   val oracles: Map[String, String] = Map(
-    "q118_embed_quantize" -> q118Sql)
+    "q118_embed_quantize" -> q118Sql,
+    "q119_map_hofs"       -> q119Sql)
 }

@@ -45,6 +45,20 @@ class Extended18Spec extends AnyFunSuite {
     }
   }
 
+  test("q119 map HOFs: zipped = 3x base, evens keep only even keys") {
+    val out = SparkEntry.queries("q119_map_hofs")(spark, sf)
+      .limit(100).collect()
+    def entries(j: String): Seq[(Int, Int)] =
+      "\"key\":(\\d+),\"value\":(\\d+)".r.findAllMatchIn(j)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    out.foreach { r =>
+      val base = entries(r.getString(1))
+      assert(entries(r.getString(4)) == base.map { case (k, v) => (k, v * 3) })
+      assert(entries(r.getString(3)) == base.filter(_._1 % 2 == 0))
+      assert(entries(r.getString(2)) == base.map { case (k, v) => (k, v * 2) })
+    }
+  }
+
   test("q117 mode equals a brute-force count") {
     val vals = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_quantity").cast("int")).collect()
