@@ -104,11 +104,36 @@ object Extended19 {
       |       e -> {'key': e.key, 'value': e.value * 3})) AS VARCHAR) AS zipped
       |FROM m ORDER BY l_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  /** Path-based JSON extraction (`get_json_object`) — the
+    * semi-structured point-access API, complementing q67's
+    * schema-declared `from_json` decode. Row-local, codegen'd,
+    * scan-bound; the rollup shuffles one int key.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("k_bucket", (col("k") % 10).cast("int"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("k_bucket")
+
+  private val q120Sql =
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+      |       COUNT(*) AS n,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_embed_quantize" -> (q118 _),
-    "q119_map_hofs"       -> (q119 _))
+    "q119_map_hofs"       -> (q119 _),
+    "q120_json_path"      -> (q120 _))
 
   val oracles: Map[String, String] = Map(
     "q118_embed_quantize" -> q118Sql,
-    "q119_map_hofs"       -> q119Sql)
+    "q119_map_hofs"       -> q119Sql,
+    "q120_json_path"      -> q120Sql)
 }
