@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -36,7 +36,7 @@ object SigExpressions {
   * pipeline emitting no rows for that doc).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -49,8 +49,33 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else MinHashSig.compute(arr, pa, pb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paRef = ctx.addReferenceObj("pa", pa, "long[]")
+    val pbRef = ctx.addReferenceObj("pb", pb, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.numElements() == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.MinHashSig.compute($c, $paRef, $pbRef);
+      |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Static kernel shared by interpreted eval and generated code
+    * (called from whole-stage codegen via the companion's static
+    * forwarder). Caller guarantees a non-empty array.
+    */
+  def compute(arr: ArrayData, pa: Array[Long], pb: Array[Long]): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return null
+    val k = pa.length
     val p = Hashing.MinHashPrime
     val out = Array.fill(k)(Long.MaxValue)
     var j = 0
@@ -68,9 +93,6 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Word n-grams as one native pass: array<string> tokens → array of
@@ -84,16 +106,28 @@ case class MinHashSig(child: Expression, k: Int)
   * slice(0) error, never reachable).
   */
 case class WordNGramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
+  override def nullSafeEval(v: Any): Any =
+    WordNGramsExpr.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGramsExpr.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGramsExpr {
   private val Space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](len)
@@ -114,9 +148,6 @@ case class WordNGramsExpr(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Canonical word tokenizer as one native pass, value-identical to
@@ -133,16 +164,29 @@ case class WordNGramsExpr(child: Expression, n: Int)
   *    input yields [""] — both exactly what replace-then-split does.
   */
 case class TokenizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokenize"
 
+  override def nullSafeEval(v: Any): Any =
+    TokenizeExpr.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenizeExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenizeExpr {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  override def nullSafeEval(v: Any): Any = {
-    val lowered = v.asInstanceOf[UTF8String].toLowerCase
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): ArrayData = {
+    val lowered = v.toLowerCase
     val bytes = lowered.getBytes
     var i = 0
     var j = bytes.length
@@ -162,16 +206,13 @@ case class TokenizeExpr(child: Expression)
     out += UTF8String.fromBytes(bytes, start, j - start)
     new GenericArrayData(out.toArray)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** SimHash code: 64-bit long — bit i set iff the Σ±1 vote of bit i
   * over all shingle hashes is ≥ 0. Null for an empty shingle array.
   */
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -179,8 +220,28 @@ case class SimHashSig(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHashSig.compute(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.numElements() == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.SimHashSig.compute($c);
+      |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  /** Static kernel shared by interpreted eval and generated code.
+    * Caller guarantees a non-empty array; returns the primitive code
+    * (no boxing on the codegen path).
+    */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
-    if (n == 0) return null
     val votes = new Array[Int](64)
     var j = 0
     while (j < n) {
@@ -200,7 +261,4 @@ case class SimHashSig(child: Expression)
     }
     code
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

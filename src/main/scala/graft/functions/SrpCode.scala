@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
@@ -16,26 +16,45 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * Why an expression instead of `zip_with`/`aggregate` HOFs: each
   * interpreted HOF element-step pays expression-dispatch + boxing
   * (~µs); tables×bits×dim steps ≈ 10 ms/row. The same loops in plain
-  * Java run in ~µs/row. (CodegenFallback: the interior is already a
-  * tight loop; per-row fallback overhead is irrelevant.)
+  * Java run in ~µs/row, called directly from generated code.
   */
 case class SrpCode(child: Expression, tables: Int, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_code"
 
+  @transient private lazy val planes: Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, SrpCode.MaxDim)(rnd.nextGaussian())
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SrpCode.compute(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SrpCode.compute($c, $planesRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpCode {
   /** Max supported embedding dimension. */
   private val MaxDim = 256
 
-  @transient private lazy val planes: Array[Array[Array[Double]]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(tables, bits, MaxDim)(rnd.nextGaussian())
-  }
+  def apply(emb: Column, tables: Int, bits: Int, seed: Long = 0xA11CE5L): Column =
+    GraftSqlBridge.column(
+      SrpCode(GraftSqlBridge.expression(emb), tables, bits, seed))
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
     val n = math.min(arr.numElements(), MaxDim)
+    val tables = planes.length
+    val bits = if (tables == 0) 0 else planes(0).length
     val x = new Array[Double](n)
     var i = 0
     while (i < n) { x(i) = arr.getFloat(i).toDouble; i += 1 }
@@ -57,13 +76,4 @@ case class SrpCode(child: Expression, tables: Int, bits: Int, seed: Long)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SrpCode {
-  def apply(emb: Column, tables: Int, bits: Int, seed: Long = 0xA11CE5L): Column =
-    GraftSqlBridge.column(
-      SrpCode(GraftSqlBridge.expression(emb), tables, bits, seed))
 }
