@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Extended17.queries ++
       graft.queries.Extended18.queries ++
       graft.queries.Extended19.queries ++
+      graft.queries.Extended20.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.Extended17.oracles ++
       graft.queries.Extended18.oracles ++
       graft.queries.Extended19.oracles ++
+      graft.queries.Extended20.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

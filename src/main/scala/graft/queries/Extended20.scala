@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Nineteenth extension batch (SURVEY.md §2 q121–q123): mergeable
+  * approximate sketches as USER operators, and the inverted index —
+  * the remaining "100 TB shapes" the surface talked about but never
+  * exposed as queries.
+  *
+  * Sketch oracle design: a sketch estimate can never hash-match an
+  * exact engine, so these queries return the EXACT answer plus
+  * booleans asserting the sketch landed within its error contract.
+  * Both engines agree on the exact columns; the booleans are TRUE in
+  * the oracle, so a sketch regression (wrong rsd, broken merge) flips
+  * a hash-checked value — a stronger gate than the previous
+  * "spec-only" stance (the sketches are deterministic for fixed data,
+  * so this is stable, and it is verified at sf0.001/0.01/0.1 by the
+  * cross-SF sweep).
+  */
+object Extended20 {
+
+  // --------------------------------------------------------------- q121
+  /** Distinct-count sketches: HLL++ (`approx_count_distinct`) and the
+    * mergeable DataSketches HLL (`hll_sketch_agg` → union → estimate).
+    * The union path is the 100 TB story: per-partition (here
+    * per-linestatus) sketches are a few KB each, union at the
+    * coordinator replaces a full distinct shuffle — COUNT(DISTINCT)
+    * shuffles every key exactly once, the sketch ships O(sketch) per
+    * group instead. Booleans assert each estimate lands within its
+    * error contract — 3×rsd (15%) for HLL++, whose rsd=0.05 is a
+    * standard deviation, not a bound (one sf0.01 group sits at ~6%),
+    * and 5% (~3σ at lgK=12) for the DataSketches estimates.
+    * Deterministic on fixed data.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val direct = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_orderkey")).as("hllpp"),
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))").as("ds_est"))
+    val unioned = li
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("union_est"))
+    def ok(est: String, tol: Double): org.apache.spark.sql.Column =
+      abs(col(est) - col("exact_orders")) <=
+        col("exact_orders").cast("double") * tol
+    direct.join(unioned, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"),
+        ok("hllpp", 0.15).as("hllpp_ok"),
+        ok("ds_est", 0.05).as("sketch_ok"),
+        ok("union_est", 0.05).as("union_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q121Sql =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |       TRUE AS hllpp_ok, TRUE AS sketch_ok, TRUE AS union_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q122
+  /** Quantile sketch (`approx_percentile`, Greenwald–Khanna, accuracy
+    * 1000 ⇒ rank error ≤ n/1000) next to the exact interpolated
+    * percentile. At 100 TB the exact percentile needs a full sort per
+    * group; the GK summary is a bounded-size mergeable state — this
+    * is what q44's doc promised you'd "swap in" at scale, now an
+    * operator with its contract hash-checked (booleans: sketch value
+    * within 5% of exact; exact columns compared directly).
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    def within(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      abs(a - b) <= abs(b) * 0.05
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.95)").as("e95"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"))
+      .select(col("l_returnflag"),
+        round(col("e50"), 4).as("p50_exact"),
+        round(col("e95"), 4).as("p95_exact"),
+        within(element_at(col("ap"), 1), col("e50")).as("approx_p50_ok"),
+        within(element_at(col("ap"), 2), col("e95")).as("approx_p95_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q122Sql =
+    """SELECT l_returnflag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+      |       TRUE AS approx_p50_ok, TRUE AS approx_p95_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q123
+  /** Inverted index build: token → sorted posting list + document
+    * frequency. One explode of per-doc DISTINCT tokens (so a token
+    * counts once per doc), one shuffle keyed by token. Scale notes:
+    * posting lists are the classic skew surface — head tokens
+    * ("the") collect a posting per document. At 100 TB you cap or
+    * tier them (store df + top-k postings for head terms, full lists
+    * for the tail); the df computation itself is skew-safe (partial
+    * counts map-side). Postings ship as JSON (array result columns
+    * crash the driver comparator).
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(T.tokens(col("text")))).as("token"))
+      .filter(length(col("token")) >= 3)
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        to_json(sort_array(collect_set(col("doc_id")))).as("postings"))
+      .filter(col("df") >= 2)
+      .orderBy("token")
+
+  private val q123Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+      |  FROM documents)
+      |SELECT token, COUNT(*) AS df,
+      |       CAST(to_json(list(doc_id ORDER BY doc_id)) AS VARCHAR) AS postings
+      |FROM pairs WHERE LENGTH(token) >= 3
+      |GROUP BY token HAVING COUNT(*) >= 2 ORDER BY token""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_sketch_distinct"  -> (q121 _),
+    "q122_sketch_quantiles" -> (q122 _),
+    "q123_inverted_index"   -> (q123 _))
+
+  val oracles: Map[String, String] = Map(
+    "q121_sketch_distinct"  -> q121Sql,
+    "q122_sketch_quantiles" -> q122Sql,
+    "q123_inverted_index"   -> q123Sql)
+}
