@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF join as a first-class operator: logical node → planner
+  * strategy → physical merge-scan plan, registered on the session via
+  * `extraStrategies` (or `SparkSessionExtensions.injectPlannerStrategy`
+  * at session build).
+  *
+  * This is the (c)-tier extension point the design doc reserves for
+  * semantics the built-in operators cannot express as ONE operator:
+  * q43 composes the same semantics from union + window (plan-optimal,
+  * still the default), while this node IS the as-of join — each left
+  * row picks the latest right row of the same key with time ≤ its
+  * time, inclusive.
+  *
+  * Scale shape: `requiredChildDistribution` co-partitions both sides
+  * on the key (one hash exchange each — Catalyst's EnsureRequirements
+  * inserts/elides them, so an already-bucketed side ships zero bytes)
+  * and `requiredChildOrdering` demands (key, time) sort within
+  * partitions. The merge itself is a single forward pass over both
+  * sorted streams per partition: O(|L|+|R|), constant memory (ONE
+  * buffered candidate row), no per-key buffering, no quadratic range
+  * join, no window state. Skewed keys cost what the sort costs —
+  * nothing is materialized per key.
+  */
+object AsofJoin {
+
+  /** Latest-right-at-or-before join (left outer): returns left's
+    * columns plus right's non-key columns (nullable). Key and time
+    * column types must match across sides.
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side to FRESH exprIds: when both inputs
+    // derive from the same scan they share attribute ids, and the
+    // analyzer's DeduplicateRelations re-ids the right child without
+    // knowing how to rewrite the keys inside this (unknown) node.
+    import org.apache.spark.sql.functions.col
+    val rPlan = right
+      .select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name)}"))
+    val node = AsofJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime))
+    GraftSqlBridge.dataFrame(spark, node)
+      // drop the duplicated right-side key; right time is the payload
+      .drop(GraftSqlBridge.column(attr(rPlan, key)))
+  }
+}
+
+/** Logical as-of join. Output = left columns ++ right columns (right
+  * side nullable: a left row with no at-or-before match keeps nulls).
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned, sort-based, single forward
+  * merge pass per partition with one buffered candidate row.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val ktTypes = keyTypes :+ leftTime.dataType
+    val rightWidth = right.output.size
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val allOut = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, time) projections, natural ascending lexicographic order
+      val lKT = UnsafeProjection.create(lk :+ lt, leftOut)
+      val rKT = UnsafeProjection.create(rk :+ rt, rightOut)
+      val lK = UnsafeProjection.create(lk, leftOut)
+      val rK = UnsafeProjection.create(rk, rightOut)
+      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // bind against NULLABLE right attributes: unmatched left rows are
+      // null-padded, and a non-nullable BoundReference would skip the
+      // null check and read garbage from primitive columns
+      val result = UnsafeProjection.create(
+        allOut, leftOut ++ rightOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      var candidate: InternalRow = null
+      var candidateKey: InternalRow = null
+
+      lIter.map { lRow =>
+        val lkt = lKT(lRow)
+        // consume every right row at-or-before (key, time); the last
+        // consumed row of the SAME key is the as-of match
+        while (rBuf.hasNext && ktOrd.compare(rKT(rBuf.head), lkt) <= 0) {
+          val r = rBuf.next()
+          candidate = r.copy()
+          candidateKey = rK(candidate).copy()
+        }
+        val matched = candidate != null &&
+          keyOrd.compare(candidateKey, lK(lRow)) == 0
+        result(joined(lRow, if (matched) candidate else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -128,13 +128,43 @@ object Extended20 {
       |FROM pairs WHERE LENGTH(token) >= 3
       |GROUP BY token HAVING COUNT(*) >= 2 ORDER BY token""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** The as-of join as a CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]]): logical node → strategy → merge
+    * scan, co-partitioned on the key, one forward pass per partition
+    * with a single buffered row. Same semantics as q43 (which stays
+    * the composed union+window formulation); same DuckDB native ASOF
+    * oracle — so the custom operator is hash-checked against an
+    * independent engine, not against q43.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val logins = ev.filter(col("event_type") === "login")
+      .select(col("user_id"), col("ts").as("last_login_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin
+      .asof(purchases, logins, key = "user_id",
+        leftTime = "ts", rightTime = "last_login_ts")
+      .orderBy("event_id")
+  }
+
+  private val q124Sql =
+    """SELECT p.event_id, p.user_id, p.ts, p.value, l.ts AS last_login_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+      |  ON p.user_id = l.user_id AND p.ts >= l.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_sketch_distinct"  -> (q121 _),
     "q122_sketch_quantiles" -> (q122 _),
-    "q123_inverted_index"   -> (q123 _))
+    "q123_inverted_index"   -> (q123 _),
+    "q124_asof_native"      -> (q124 _))
 
   val oracles: Map[String, String] = Map(
     "q121_sketch_distinct"  -> q121Sql,
     "q122_sketch_quantiles" -> q122Sql,
-    "q123_inverted_index"   -> q123Sql)
+    "q123_inverted_index"   -> q123Sql,
+    "q124_asof_native"      -> q124Sql)
 }

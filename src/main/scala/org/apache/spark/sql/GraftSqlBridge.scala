@@ -12,6 +12,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the construction
+    * path for graft's custom logical operators (e.g. the as-of join
+    * node), same as Spark's own `Dataset.ofRows`.
+    */
+  def dataFrame(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Evict cached state-store providers after a streaming query ends
     * (keeps finished streams from taxing later batch work in the same
     * session).
