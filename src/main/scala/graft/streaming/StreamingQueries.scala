@@ -313,6 +313,43 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  // --------------------------------------------------------------- q125
+  /** Stream-stream FULL OUTER join — completes the watermarked
+    * stream-join family (q57 inner, q98 left). Null rows flush from
+    * BOTH sides on watermark proof: an unmatched click when the
+    * watermark passes click_ts + 24 h (no later purchase can match),
+    * an unmatched purchase when it passes purchase_ts (a matching
+    * click would have click_ts ≤ purchase_ts, and events at-or-before
+    * the watermark can no longer arrive). Rows whose window is still
+    * open at drain are withheld — correct streaming semantics — so
+    * the batch oracle applies the same per-side watermark cutoffs.
+    * State bounds are the inner join's: each side ~(range + delay).
+    */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "15 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 24 hours"""),
+      "full_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("p_user_id"), col("click_ts"), col("purchase_ts"))
+    // click_id IS null here (unmatched purchases) — pin null ordering
+    // explicitly; Spark defaults NULLS FIRST, DuckDB NULLS LAST.
+    runToSnapshot(s, joined, "q125_sink", OutputMode.Append)
+      .orderBy(col("click_id").asc_nulls_last,
+        col("purchase_id").asc_nulls_last)
+  }
+
   // --------------------------------------------------------------- q108
   /** Stream-static join: the streaming enrichment pattern — a purchase
     * stream joined per micro-batch to a STATIC dimension table
@@ -367,6 +404,7 @@ object StreamingQueries {
     "q47_stream_dedup"       -> (q47 _),
     "q57_stream_stream_join" -> (q57 _),
     "q98_stream_left_join"   -> (q98 _),
+    "q125_stream_full_join"  -> (q125 _),
     "q108_stream_static_join" -> (q108 _))
 
   /** Streaming results are asserted identical to their batch forms, so
@@ -396,6 +434,30 @@ object StreamingQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q125_stream_full_join" ->
+      """WITH wm AS (
+        |  SELECT LEAST(MAX(ts) FILTER (WHERE event_type = 'click'),
+        |               MAX(ts) FILTER (WHERE event_type = 'purchase'))
+        |         - INTERVAL 15 SECONDS AS w
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+        |             ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, p.p_user_id,
+        |         c.click_ts, p.purchase_ts
+        |  FROM c FULL JOIN p
+        |    ON c.user_id = p.p_user_id
+        |   AND p.purchase_ts >= c.click_ts
+        |   AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOURS)
+        |SELECT * FROM j
+        |WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |   OR (purchase_id IS NULL
+        |       AND click_ts + INTERVAL 24 HOURS < (SELECT w FROM wm))
+        |   OR (click_id IS NULL AND purchase_ts < (SELECT w FROM wm))
+        |ORDER BY click_id NULLS LAST, purchase_id NULLS LAST""".stripMargin,
     "q98_stream_left_join" ->
       """WITH wm AS (
         |  SELECT LEAST(MAX(ts) FILTER (WHERE event_type = 'click'),

@@ -209,6 +209,23 @@ class StreamingSpec extends AnyFunSuite {
       rangeWindowTruth.toSeq.map(_.toString).sorted)
   }
 
+  /** The full-outer stream join must agree with the inner join on the
+    * matched subset, and every null-padded row must be one-sided (a
+    * watermark-proven unmatched click or purchase, never both null).
+    */
+  test("q125 full-outer stream join ⊇ q57 inner join; null rows one-sided") {
+    val full = SparkEntry.queries("q125_stream_full_join")(spark, sf)
+      .collect()
+    val matched = full.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = SparkEntry.queries("q57_stream_stream_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === inner)
+    assert(full.forall(r => !(r.isNullAt(0) && r.isNullAt(1))))
+    // the outer rows are the point of the operator — assert some exist
+    assert(full.exists(r => r.isNullAt(0)) || full.exists(r => r.isNullAt(1)))
+  }
+
   test("q75 session windows merge across micro-batches") {
     import java.nio.file.Files
     // user 1: five events with gaps < 30 min that STRADDLE the first
