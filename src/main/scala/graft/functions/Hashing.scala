@@ -91,6 +91,34 @@ object Hashing {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Second-level SimHash blocking key: 7-bit sub-chunks of the 56
+    * bits that REMAIN after deleting chunk `chunkIdx` from the code.
+    *
+    * Used to re-block a level-1 bucket that overflows the bucket cap
+    * (every member shares chunk `chunkIdx`, so at corpus scale a
+    * popular 8-bit chunk value collects ~N/256 docs and the cap would
+    * otherwise silently DROP the bucket — the recall cliff). Within
+    * such a bucket, a pair at Hamming ≤ 7 has all ≤7 differing bits
+    * inside these 56 remainder bits, so by pigeonhole over 8
+    * sub-chunks it agrees on at least one — the guarantee stays exact
+    * one level down, on buckets ~128× smaller.
+    *
+    * All shifts are static (the dynamic `chunkIdx` selects among 8
+    * statically-shifted branches), so the whole key stays inside
+    * whole-stage codegen.
+    */
+  def simHashSubChunks(sim: Column, chunkIdx: Column): Column = {
+    val rem = (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      val r =
+        if (i == 7) sim.bitwiseAND(lit(0x00FFFFFFFFFFFFFFL))
+        else shiftleft(shiftrightunsigned(sim, 8 * (i + 1)), 8 * i)
+          .bitwiseOR(sim.bitwiseAND(lit((1L << (8 * i)) - 1)))
+      when(chunkIdx === i, r).otherwise(acc)
+    }
+    array((0 until 8).map(k =>
+      shiftrightunsigned(rem, 7 * k).bitwiseAND(lit(0x7FL))): _*)
+  }
+
   /** K-minimum-values sketch (winnowing-style fingerprint): the k
     * smallest distinct shingle hashes — a compact, mergeable document
     * fingerprint whose overlap estimates containment.

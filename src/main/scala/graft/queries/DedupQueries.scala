@@ -203,9 +203,70 @@ object DedupQueries {
     nearDupPairs(s0, dir).orderBy("a", "b")
 
   // ---------------------------------------------------------------- q36
-  /** SimHash near-dup: 64-bit code per doc, Hamming ≤ 7 via 8×8-bit
-    * chunk blocking (pigeonhole-exact: no candidate at distance ≤7 is
-    * missed) + `bit_count(xor)` verify.
+  /** Capped-bucket pair expansion over (doc_id, sim) member structs:
+    * explode → a<b → Hamming filter. Shared by both blocking levels.
+    */
+  private def memberPairs(buckets: DataFrame, maxHamming: Int): DataFrame =
+    buckets
+      // spread the quadratic pair expansion (cf. bucketPairs)
+      .repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("members")).as("m"), col("members"))
+      .select(col("m"), explode(col("members")).as("n"))
+      .filter(col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("a"), col("n.doc_id").as("b"),
+        Hashing.hamming64(col("m.sim"), col("n.sim")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
+  /** All pairs within Hamming ≤ `maxHamming` over (doc_id, sim) rows,
+    * via two-level pigeonhole blocking.
+    *
+    * Level 1: 8×8-bit chunk blocking — a pair at distance ≤7 shares
+    * ≥1 chunk. At corpus scale a chunk bucket holds ~N/256 docs, so
+    * past ~16k docs typical buckets overflow `MaxBucket`; dropping
+    * them (the pre-round-5 behavior) was a silent recall cliff.
+    * Level 2: each OVERSIZED bucket is re-blocked on the 8×7-bit
+    * sub-chunks of its 56 remainder bits ([[Hashing.simHashSubChunks]]
+    * — every member already agrees on the bucket's chunk, so the ≤7
+    * differing bits live in the remainder and pigeonhole holds again,
+    * exactly, on buckets ~128× smaller. Only a sub-bucket that ALSO
+    * overflows is dropped: ≥65 docs agreeing on the same 15 code bits
+    * is an exact-dup flood (q34's job), and the same cap-and-recurse
+    * move applies at the next level if a corpus ever needs it.
+    *
+    * The sub-chunk regrouping shuffles only oversized-bucket members
+    * — (chunk, id, sim) rows, no arrays — so the exchange stays
+    * bounded by the overflow population, not the corpus.
+    */
+  private[graft] def simHashPairs(docs: DataFrame,
+      maxHamming: Int = 7): DataFrame = {
+    // `buckets` feeds BOTH level filters — materialize once so the
+    // signature pipeline upstream isn't recomputed (cf. attachFeatures)
+    val buckets = docs
+      .select(col("doc_id"), col("sim"),
+        posexplode(Hashing.simHashChunks(col("sim")))
+          .as(Seq("chunk_idx", "chunk")))
+      .groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .filter(size(col("members")) >= 2)
+      .localCheckpoint()
+    val small = buckets.filter(size(col("members")) <= MaxBucket)
+    val reblocked = buckets.filter(size(col("members")) > MaxBucket)
+      .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
+      .select(col("chunk_idx"), col("chunk"), col("m"),
+        posexplode(Hashing.simHashSubChunks(col("m.sim"), col("chunk_idx")))
+          .as(Seq("sub_idx", "sub")))
+      .groupBy("chunk_idx", "chunk", "sub_idx", "sub")
+      .agg(collect_list(col("m")).as("members"))
+      .filter(size(col("members")).between(2, MaxBucket))
+    memberPairs(small, maxHamming)
+      .union(memberPairs(reblocked, maxHamming))
+      // dedup across chunk tables AFTER the cheap Hamming filter:
+      // the exchange carries only true near-dup pairs
+      .distinct()
+  }
+
+  /** SimHash near-dup: 64-bit code per doc, Hamming ≤ 7 via two-level
+    * chunk blocking ([[simHashPairs]]) + `bit_count(xor)` verify.
     *
     * Unlike q35/q37/q38, the feature here is a single LONG, so the
     * scale-optimal shape is to carry the code THROUGH the blocking
@@ -215,13 +276,6 @@ object DedupQueries {
     * verify join at all — one aggregation shuffle end-to-end. The
     * candidate-prune fetch machinery (`attachFeatures`) exists for
     * features too wide to ship through blocking.
-    *
-    * Chunk-width note for scale: 8-bit chunks put ~N/256 docs in a
-    * bucket, so the expected candidate count grows ~N²/(8·256²) — fine
-    * for corpus shards, quadratic for a whole 100 TB corpus. There,
-    * chunk bits must track log₂(N) (wider chunks ⇒ Hamming guarantee
-    * drops to ⌊63/chunks⌋ by pigeonhole), or buckets re-shard through
-    * the MaxBucket cap as here.
     */
   private def q36(s0: SparkSession, dir: String): DataFrame = {
     val s = dedupSession(s0)
@@ -237,25 +291,7 @@ object DedupQueries {
       .filter(size(col("shingles")) >= 1)
     val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
       .select(col("doc_id"), col("simhash").as("sim"))
-    val chunks = docs.select(col("doc_id"), col("sim"),
-      posexplode(Hashing.simHashChunks(col("sim"))).as(Seq("chunk_idx", "chunk")))
-    val buckets = chunks
-      .groupBy("chunk_idx", "chunk")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
-      .filter(size(col("members")).between(2, MaxBucket))
-      // spread the quadratic pair expansion (cf. bucketPairs)
-      .repartition(s.sparkContext.defaultParallelism)
-    buckets
-      .select(explode(col("members")).as("m"), col("members"))
-      .select(col("m"), explode(col("members")).as("n"))
-      .filter(col("m.doc_id") < col("n.doc_id"))
-      .select(col("m.doc_id").as("a"), col("n.doc_id").as("b"),
-        Hashing.hamming64(col("m.sim"), col("n.sim")).as("hamming"))
-      .filter(col("hamming") <= 7)
-      // dedup across the 8 chunk tables AFTER the cheap Hamming
-      // filter: the exchange carries only true near-dup pairs
-      .distinct()
-      .orderBy("a", "b")
+    simHashPairs(docs).orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- q37

@@ -58,6 +58,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("cos") >= 0.4))
   }
 
+  /** The scale cliff: a popular 8-bit chunk value collects ~N/256 docs,
+    * so past ~16k docs level-1 buckets overflow MaxBucket — dropping
+    * them (pre-round-5) silently lost every pair whose ONLY shared
+    * chunk was the oversized one. This forces that exact shape at test
+    * scale: 300 synthetic codes share chunk 0 (bucket ≫ MaxBucket=64),
+    * and each planted partner flips one bit in EACH of the 7 other
+    * chunks — Hamming exactly 7, recoverable only through the
+    * oversized bucket's sub-chunk re-block. Ground truth is exact
+    * brute force over all codes.
+    */
+  test("q36 two-level blocking recovers pairs inside an oversized chunk bucket") {
+    import spark.implicits._
+    val rnd = new java.util.Random(42L)
+    def rand56(): Long = rnd.nextLong() & 0x00FFFFFFFFFFFFFFL
+    val base = (0 until 300).map(i => (i.toLong, (rand56() << 8) | 0x5AL))
+    val partners = base.take(20).map { case (id, code) =>
+      val flips = (1 to 7).map(c => 1L << (8 * c + rnd.nextInt(8)))
+      (10000L + id, flips.foldLeft(code)(_ ^ _))
+    }
+    val all = base ++ partners
+    val expected = (for {
+      (a, ca) <- all; (b, cb) <- all if a < b
+      if java.lang.Long.bitCount(ca ^ cb) <= 7
+    } yield (a, b)).toSet
+    val got = graft.queries.DedupQueries.simHashPairs(all.toDF("doc_id", "sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.size >= 20, "construction plants >= 20 pairs")
+    assert(got === expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+  }
+
   test("q34 exact dedup keeps one row per distinct text") {
     val n = SparkEntry.queries("q34_dedup_exact")(spark, sf).count()
     val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
