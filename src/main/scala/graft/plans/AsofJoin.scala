@@ -4,9 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+  And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  PredicateHelper, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -45,6 +46,9 @@ object AsofJoin {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinFilterPushdown
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side to FRESH exprIds: when both inputs
     // derive from the same scan they share attribute ids, and the
@@ -64,6 +68,37 @@ object AsofJoin {
     GraftSqlBridge.dataFrame(spark, node)
       // drop the duplicated right-side key; right time is the payload
       .drop(GraftSqlBridge.column(attr(rPlan, key)))
+  }
+}
+
+/** Optimizer rule: push deterministic left-only filter conjuncts below
+  * [[AsofJoinPlan]].
+  *
+  * The as-of join is left-outer-shaped — every left row produces
+  * exactly one output row, and removing a LEFT row never changes any
+  * other row's match — so a predicate over left attributes commutes
+  * with the join and belongs under it, where it prunes the rows BEFORE
+  * the key exchange and sort (at scale: filter at the scan, not after
+  * the shuffle). RIGHT-side predicates do NOT commute (dropping a
+  * right row changes which row is "latest at-or-before") and stay
+  * above the join, as do non-deterministic conjuncts (evaluation
+  * count/order must not change).
+  *
+  * This is the `Rule[LogicalPlan]` leg of the extension surface —
+  * Catalyst's own PushDownPredicates cannot see through an unknown
+  * binary node, so the node ships with the rule that teaches the
+  * optimizer its algebra.
+  */
+object AsofJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 

@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectOptimizerRule(_ => AsofJoinFilterPushdown)
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.srpCodeDescriptor)
     e.injectFunction(GraftExtensions.minHashSigDescriptor)

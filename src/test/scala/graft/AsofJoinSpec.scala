@@ -47,6 +47,44 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
   }
 
+  /** The Rule[LogicalPlan] leg: a deterministic left-only filter above
+    * the as-of join must sink below it (pruning before the key
+    * exchange); right-side predicates must NOT move (they would change
+    * which right row is "latest at-or-before").
+    */
+  test("left-only filter pushes below the as-of join; right-side filter stays") {
+    val trades = Seq((1L, 10L, ts(100)), (2L, 10L, ts(250)),
+      (3L, 20L, ts(300))).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, ts(200), 1.0), (20L, ts(250), 2.0))
+      .toDF("sym", "qt", "px")
+    val joined = AsofJoin.asof(trades, quotes, "sym", "t", "qt")
+
+    val leftFiltered = joined.filter($"trade_id" > 1)
+    val opt = leftFiltered.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val aj = opt.collect { case p: graft.plans.AsofJoinPlan => p }.head
+    assert(aj.left.exists {
+      case LFilter(c, _) => c.references.map(_.name).toSet == Set("trade_id")
+      case _ => false
+    }, s"left-only filter not pushed below the join:\n$opt")
+    assert(!opt.exists { case LFilter(_, _: graft.plans.AsofJoinPlan) => true
+      case _ => false }, s"filter still above the join:\n$opt")
+    // semantics unchanged by the move
+    assert(leftFiltered.orderBy("trade_id").select($"trade_id", $"px")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toSeq === Seq((2L, 1.0), (3L, 2.0)))
+
+    // right-side predicate: must stay above (pushing it would turn
+    // trade 2's match from px=1.0 into null instead of dropping the row)
+    val rightFiltered = joined.filter($"px" > 1.5)
+    val opt2 = rightFiltered.queryExecution.optimizedPlan
+    val aj2 = opt2.collect { case p: graft.plans.AsofJoinPlan => p }.head
+    assert(!aj2.right.exists { case LFilter(_, _) => true; case _ => false },
+      s"right-side filter illegally pushed:\n$opt2")
+    assert(rightFiltered.select($"trade_id").collect().map(_.getLong(0)).toSeq
+      === Seq(3L))
+  }
+
   test("plan shape: AsofJoinExec node, one exchange per side, merge not window") {
     val df = Extended20.queries("q124_asof_native")(spark, sf)
     df.collect() // materialize so the adaptive plan is final
