@@ -26,6 +26,10 @@ object ScaleStress {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // same rationale as DedupQueries.dedupSession: the dedup plans
+      // manage skew/coalescing explicitly and AQE's final-plan event
+      // loop has a measured deadlock race with explicit broadcasts
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,6 +65,20 @@ object ScaleStress {
       f"(${100.0 * cliquePairs / want}%.2f%%)")
     assert(cliquePairs == want,
       s"oversized-bucket re-block lost ${want - cliquePairs} clique pairs")
+
+    // q35 MinHash-LSH: same clique ground truth (exact copies share
+    // every band key; the verify Jaccard is 1.0)
+    val sh = shingled.localCheckpoint()
+    val t1 = System.nanoTime()
+    val mhPairs = graft.queries.DedupQueries.minHashPairs(sh).localCheckpoint()
+    val nMh = mhPairs.count()
+    val mhSecs = (System.nanoTime() - t1) / 1e9
+    val mhClique = mhPairs.filter(col("a") % Base === col("b") % Base).count()
+    println(f"[stress] q35 minhash ×$rep: $nMh%,d pairs in $mhSecs%.1f s")
+    println(f"[stress] clique recall: $mhClique%,d / $want%,d " +
+      f"(${100.0 * mhClique / want}%.2f%%)")
+    assert(mhClique == want,
+      s"minhash blocking lost ${want - mhClique} clique pairs")
     spark.stop()
   }
 }

@@ -184,9 +184,14 @@ object DedupQueries {
     pairCache.getOrElseUpdate(dir,
       nearDupPairsUncached(s0, dir).localCheckpoint())
 
-  private def nearDupPairsUncached(s0: SparkSession, dir: String): DataFrame = {
-    val s = dedupSession(s0)
-    val sh = shingled2(s, dir)
+  private def nearDupPairsUncached(s0: SparkSession, dir: String): DataFrame =
+    minHashPairs(shingled2(dedupSession(s0), dir))
+
+  /** MinHash-LSH pair pipeline over an explicit (doc_id, shingles)
+    * table (factored out so [[graft.ScaleStress]] can feed a
+    * replicated corpus).
+    */
+  private[graft] def minHashPairs(sh: DataFrame): DataFrame = {
     val sigs = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
       .select(col("doc_id"),
         posexplode(Hashing.bandKeys(col("sig"), bands = 16, rows = 8))
