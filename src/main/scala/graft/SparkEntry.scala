@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.Extended18.queries ++
       graft.queries.Extended19.queries ++
       graft.queries.Extended20.queries ++
+      graft.queries.Extended21.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.Extended18.oracles ++
       graft.queries.Extended19.oracles ++
       graft.queries.Extended20.oracles ++
+      graft.queries.Extended21.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

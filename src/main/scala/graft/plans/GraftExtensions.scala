@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, MinHashSig, SimHashSig, SrpCode, TokenizeExpr, WordNGramsExpr}
+import graft.functions.{BottomKSample, CosineSim, MinHashSig, SimHashSig, SrpCode, TokenizeExpr, WordNGramsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simHashSigDescriptor)
     e.injectFunction(GraftExtensions.tokenizeDescriptor)
     e.injectFunction(GraftExtensions.wordNGramsDescriptor)
+    e.injectFunction(GraftExtensions.bottomKSampleDescriptor)
   }
 }
 
@@ -68,6 +69,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordNGramsExpr].getName, "word_ngrams"),
     (args: Seq[Expression]) => WordNGramsExpr(args.head, intArg(args(1), "n")))
 
+  private[plans] val bottomKSampleDescriptor = (
+    FunctionIdentifier("bottomk_sample"),
+    new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
+    (args: Seq[Expression]) => BottomKSample(args.head, intArg(args(1), "k")))
+
   /** Register the functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -88,5 +94,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams",
       args => WordNGramsExpr(args.head, intArg(args(1), "n")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_sample",
+      args => BottomKSample(args.head, intArg(args(1), "k")), "built-in")
   }
 }
