@@ -1,84 +1,128 @@
 package graft
 
-import graft.functions.{Hashing, TextFunctions => T}
+import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Reproducible ×R scale-stress for the dedup blocking paths (the
-  * round-4 ×8 runs were ad hoc; this pins them as a harness).
+/** Reproducible ×R scale-stress for the dedup/ANN paths (the round-4
+  * ×8 runs were ad hoc; this pins them as a harness).
   *
-  * Replicates the corpus R× with disjoint id ranges — every document
-  * becomes an R-clique of exact copies, so ground truth is known
-  * without an oracle: all C(R,2)·N same-base pairs MUST be recovered
-  * (exact copies share every signature). At sf0.1 × 8 = 40k docs,
-  * every 8-bit SimHash chunk bucket holds ~N/256 ≈ 156 > MaxBucket=64
-  * members, so 100% of pairs travel the oversized-bucket re-block
-  * path — the exact regime where the pre-round-5 cap silently dropped
-  * every bucket (clique recall would have been 0, not 1).
+  * Materializes a replicated corpus DIRECTORY (same table layout as
+  * the driver testdata, id columns offset per replica so uniqueness
+  * invariants hold) and drives the REAL query entry points
+  * (`SparkEntry.queries`) against it — the same code path the
+  * correctness gate runs, eight times the data.
+  *
+  * Every document becomes an R-clique of exact copies, so ground
+  * truth is known without an oracle: all C(R,2)·N same-base pairs
+  * MUST be recovered by both near-dup pipelines (exact copies share
+  * every signature). At sf0.1 × 8 = 40k docs, every 8-bit SimHash
+  * chunk bucket holds ~N/256 ≈ 156 > MaxBucket=64 members, so 100%
+  * of q36's pairs travel the oversized-bucket re-block path — the
+  * regime where the pre-round-5 cap silently dropped every bucket
+  * (clique recall would have been 0, not 1).
   *
   * Run: `runMain graft.ScaleStress [sfDir] [replication]`
   */
 object ScaleStress {
+
+  val Base = 10000000L
+
+  /** Replicate `srcDir` into `outDir` with per-replica id offsets.
+    * Dims copy as-is (dims stay dims — broadcast plans unchanged);
+    * fact/corpus tables offset their id column so ids stay unique.
+    * `events` keeps its raw int64-nanos `ts` and lands as a single
+    * file (the streaming source's pathGlobFilter matches the file
+    * name `events.parquet`).
+    */
+  def buildDir(spark: SparkSession, srcDir: String, outDir: String,
+      rep: Int): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    def repl(name: String, idCol: String, singleFile: Boolean = false): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val out = spark.read.parquet(s"$srcDir/$name.parquet")
+        .crossJoin(spark.range(rep).select(col("id").as("__r")))
+        .withColumn(idCol, col(idCol) + col("__r") * Base)
+        .drop("__r")
+      if (!singleFile) {
+        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      } else {
+        val tmp = s"$outDir/__tmp_$name"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        Files.deleteIfExists(Paths.get(tmp))
+      }
+    }
+    repl("orders", "o_orderkey")
+    repl("lineitem", "l_orderkey")
+    repl("documents", "doc_id")
+    repl("embeddings", "vec_id")
+    repl("events", "event_id", singleFile = true)
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rep = if (args.length > 1) args(1).toInt else 8
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // same rationale as DedupQueries.dedupSession: the dedup plans
-      // manage skew/coalescing explicitly and AQE's final-plan event
-      // loop has a measured deadlock race with explicit broadcasts
-      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val Base = 10000000L
-    val docsX = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .crossJoin(spark.range(rep).select(col("id").as("r")))
-      .select((col("doc_id") + col("r") * Base).as("doc_id"), col("text"))
-    val shingled = docsX
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
-      .filter(size(col("shingles")) >= 1)
-    val codes = Hashing.simHashes(shingled, "doc_id", "shingles")
-      .select(col("doc_id"), col("simhash").as("sim"))
-      .localCheckpoint()
-    val n = codes.count()
+    val outDir = s"target/stress_x$rep"
+    val tB = System.nanoTime()
+    buildDir(spark, srcDir, outDir, rep)
+    println(f"[stress] built $outDir in ${(System.nanoTime() - tB) / 1e9}%.1f s")
 
-    val t0 = System.nanoTime()
-    val pairs = graft.queries.DedupQueries.simHashPairs(codes)
-      .localCheckpoint()
-    val nPairs = pairs.count()
-    val secs = (System.nanoTime() - t0) / 1e9
+    // clique ground truth: docs eligible for the 2-shingle pipelines
+    val nElig = Tables.documents(spark, outDir)
+      .filter(size(array_distinct(
+        T.wordNGrams(T.tokens(col("text")), 2))) >= 1).count()
+    val want = (nElig / rep) * rep * (rep - 1) / 2
 
-    // ground truth: every same-base pair is an exact copy (Hamming 0)
-    val cliquePairs = pairs
-      .filter(col("a") % Base === col("b") % Base).count()
-    val nBase = n / rep
-    val want = nBase * rep * (rep - 1) / 2
-    println(f"[stress] q36 simhash ×$rep: $n docs, $nPairs%,d pairs in $secs%.1f s")
-    println(f"[stress] clique recall: $cliquePairs%,d / $want%,d " +
-      f"(${100.0 * cliquePairs / want}%.2f%%)")
-    assert(cliquePairs == want,
-      s"oversized-bucket re-block lost ${want - cliquePairs} clique pairs")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def cliqueCheck(name: String): Unit = {
+      val (pairs, secs) = timed {
+        SparkEntry.queries(name)(spark, outDir).localCheckpoint()
+      }
+      val n = pairs.count()
+      val clique = pairs.filter(col("a") % Base === col("b") % Base).count()
+      println(f"[stress] $name ×$rep: $n%,d pairs in $secs%.1f s; " +
+        f"clique recall $clique%,d / $want%,d (${100.0 * clique / want}%.2f%%)")
+      assert(clique == want, s"$name lost ${want - clique} clique pairs")
+    }
+    cliqueCheck("q36_dedup_simhash")
+    cliqueCheck("q35_dedup_minhash")
 
-    // q35 MinHash-LSH: same clique ground truth (exact copies share
-    // every band key; the verify Jaccard is 1.0)
-    val sh = shingled.localCheckpoint()
-    val t1 = System.nanoTime()
-    val mhPairs = graft.queries.DedupQueries.minHashPairs(sh).localCheckpoint()
-    val nMh = mhPairs.count()
-    val mhSecs = (System.nanoTime() - t1) / 1e9
-    val mhClique = mhPairs.filter(col("a") % Base === col("b") % Base).count()
-    println(f"[stress] q35 minhash ×$rep: $nMh%,d pairs in $mhSecs%.1f s")
-    println(f"[stress] clique recall: $mhClique%,d / $want%,d " +
-      f"(${100.0 * mhClique / want}%.2f%%)")
-    assert(mhClique == want,
-      s"minhash blocking lost ${want - mhClique} clique pairs")
+    // ANN at ×R: brute top-k scan, then IVF cold (sampled fit +
+    // persisted assignment) vs warm (index memoized per dir)
+    def timeQuery(name: String): Double = {
+      val (df, secs) = timed { SparkEntry.queries(name)(spark, outDir) }
+      val t1 = System.nanoTime()
+      val n = df.count()
+      val total = secs + (System.nanoTime() - t1) / 1e9
+      assert(n > 0, s"$name returned no rows")
+      total
+    }
+    val brute = timeQuery("q39_ann_brute")
+    val ivfCold = timeQuery("q51_ann_ivf")
+    val ivfWarm = timeQuery("q51_ann_ivf")
+    println(f"[stress] q39 brute top-k ×$rep: $brute%.1f s; " +
+      f"q51 IVF cold $ivfCold%.1f s, warm $ivfWarm%.1f s")
     spark.stop()
   }
 }
