@@ -226,6 +226,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(full.exists(r => r.isNullAt(0)) || full.exists(r => r.isNullAt(1)))
   }
 
+  /** Incremental outer-row semantics across micro-batches: a
+    * full-outer stream-stream join must emit matches as both sides
+    * arrive, withhold null rows while a match is still possible, and
+    * flush each side's unmatched rows in the LATER batch whose
+    * watermark proves no counterpart can come.
+    */
+  test("full-outer stream join flushes null rows incrementally across micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_foj_stream").toFile
+    dir.deleteOnExit()
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+
+    def writeBatch(i: Int, rows: Seq[(Long, Long, String, Long)]): Unit = {
+      import spark.implicits._
+      val tmp = Files.createTempDirectory(s"graft_foj_part$i").toString
+      rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"batch$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+
+    def sideStream() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val clicks = sideStream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    val purchases = sideStream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "15 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 24 hours"""), "full_outer")
+
+    val name = s"foj_mb_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def ids(): Set[(Option[Long], Option[Long])] =
+      spark.table(name).collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toSet
+    try {
+      // u1 matches in-batch; u2 click and u3 purchase never match
+      writeBatch(0, Seq((1L, 1L, "click", 1000L), (2L, 1L, "purchase", 4600L),
+        (3L, 2L, "click", 1000L), (4L, 3L, "purchase", 8200L)))
+      q.processAllAvailable()
+      assert(ids() === Set((Some(1L), Some(2L))),
+        "only the matched pair may emit while null rows are still in-window")
+      // u4's pair sits 30 h later: the watermark passes u2's 24 h
+      // click window and u3's purchase ts, so BOTH null rows flush now
+      writeBatch(1, Seq((5L, 4L, "click", 109000L), (6L, 4L, "purchase", 110000L)))
+      q.processAllAvailable()
+      assert(ids() === Set((Some(1L), Some(2L)), (Some(5L), Some(6L)),
+        (Some(3L), None), (None, Some(4L))))
+      // a third epoch must add only its own match — no re-emits, no dupes
+      writeBatch(2, Seq((7L, 5L, "click", 250000L), (8L, 5L, "purchase", 251000L)))
+      q.processAllAvailable()
+      assert(ids() === Set((Some(1L), Some(2L)), (Some(5L), Some(6L)),
+        (Some(3L), None), (None, Some(4L)), (Some(7L), Some(8L))))
+      val n = spark.table(name).count()
+      assert(n === 5, s"expected 5 physical rows, got $n (duplicate emits)")
+    } finally {
+      q.stop(); spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("q75 session windows merge across micro-batches") {
     import java.nio.file.Files
     // user 1: five events with gaps < 30 min that STRADDLE the first
