@@ -101,6 +101,13 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Compact summary LAST: the driver records only the tail of the
+    // output, and with 126 queries the full line above outgrows that
+    // window — r03's record lost its own total to front-truncation.
+    // Everything a reader needs survives in this short final line.
+    val slow = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
