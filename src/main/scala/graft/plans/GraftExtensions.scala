@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BottomKSample, CosineSim, MinHashSig, SimHashSig, SrpCode, TokenizeExpr, WordNGramsExpr}
+import graft.functions.{BottomKSample, CmsEstimate, CosineSim, MinHashSig, SimHashSig, SrpCode, TokenizeExpr, WordNGramsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.tokenizeDescriptor)
     e.injectFunction(GraftExtensions.wordNGramsDescriptor)
     e.injectFunction(GraftExtensions.bottomKSampleDescriptor)
+    e.injectFunction(GraftExtensions.cmsEstimateDescriptor)
   }
 }
 
@@ -74,6 +75,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
     (args: Seq[Expression]) => BottomKSample(args.head, intArg(args(1), "k")))
 
+  private[plans] val cmsEstimateDescriptor = (
+    FunctionIdentifier("cms_estimate"),
+    new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+    (args: Seq[Expression]) => CmsEstimate(args(0), args(1)))
+
   /** Register the functions on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -97,5 +103,7 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottomk_sample",
       args => BottomKSample(args.head, intArg(args(1), "k")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate", args => CmsEstimate(args(0), args(1)), "built-in")
   }
 }

@@ -14,6 +14,10 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+# Optional comma-separated skip list (3rd arg): for sf0.1 rehearsals,
+# the brute-force all-pairs oracles (q35/q37/q102/q111/q112) are
+# O(N^2) list work in DuckDB — proven at sf0.01, skipped at sf0.1.
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -67,6 +71,9 @@ for spark_dir in sorted(glob.glob(f"{out_dir}/*")):
         fails.append(q)
 
 for q in sorted(oracle):
+    if q in skip:
+        print(f"{q}: SKIPPED (arg)")
+        continue
     spark_dir = f"{out_dir}/{q}"
     if not os.path.isdir(spark_dir):
         print(f"{q}: MISSING spark output"); fails.append(q); continue
@@ -103,5 +110,7 @@ for q in sorted(oracle):
     else:
         print(f"{q}: FAIL {'; '.join(status)}"); fails.append(q)
 
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} OK")
+n_checked = len([q for q in oracle if q not in skip])
+print(f"\n{n_checked-len(fails)}/{n_checked} OK"
+      + (f" ({len(skip)} skipped)" if skip else ""))
 sys.exit(1 if fails else 0)
