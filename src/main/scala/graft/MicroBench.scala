@@ -175,6 +175,37 @@ object MicroBench {
         .collect()
     }
 
+    // ---- bounded group sample: k-heap aggregate vs window top-k ----
+    // The aggregate's partial buffers cap at k ids, so the exchange
+    // ships <= k longs per (partition, group); the window shape must
+    // shuffle EVERY row to sort whole groups, then aggregate again.
+    // (The window variant orders by xxhash64 — same computational
+    // shape; ANSI mode forbids the wrapping multiply in SQL.)
+    locally {
+      import org.apache.spark.sql.GraftSqlBridge
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.BottomKSample
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), pmod(col("l_orderkey"), lit(512)).as("g"))
+        .crossJoin(spark.range(8).select((col("id") * 100000000L).as("off")))
+        .select((col("l_orderkey") + col("off")).as("id"), col("g"))
+        .repartition(32).persist()
+      val nLi = li.count()
+      bench("group_sample k=10", "native BottomKSample agg", nLi) {
+        li.groupBy("g").agg(GraftSqlBridge.column(
+            BottomKSample(GraftSqlBridge.expression(col("id")), 10)
+              .toAggregateExpression()).as("s"))
+          .select(sum(size(col("s")))).collect()
+      }
+      bench("group_sample k=10", "window row_number + collect", nLi) {
+        val w = Window.partitionBy("g").orderBy(xxhash64(col("id")))
+        li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .groupBy("g").agg(collect_list(col("id")).as("s"))
+          .select(sum(size(col("s")))).collect()
+      }
+      li.unpersist()
+    }
+
     // ---- report ----------------------------------------------------
     val sb = new StringBuilder
     sb.append("# Kernel microbenchmarks (generated by graft.MicroBench)\n\n")
