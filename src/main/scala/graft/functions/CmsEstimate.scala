@@ -39,17 +39,21 @@ case class CmsEstimate(left: Expression, right: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
-  // one sketch binary feeds many probe rows — memoize deserialization
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  // One sketch binary feeds many probe rows — memoize deserialization.
+  // THREAD-LOCAL because a bound expression instance can be evaluated
+  // by several task threads at once; a shared mutable pair could tear
+  // (thread A's bytes with thread B's sketch) and return garbage.
+  @transient private lazy val cached =
+    new ThreadLocal[(Array[Byte], CountMinSketch)]
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
-    if (!(bytes eq cachedBytes)) {
-      cachedSketch = CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+    val c = cached.get()
+    if (c != null && (c._1 eq bytes)) c._2
+    else {
+      val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      cached.set((bytes, sk))
+      sk
     }
-    cachedSketch
   }
 
   override def nullSafeEval(sketch: Any, item: Any): Any = {
