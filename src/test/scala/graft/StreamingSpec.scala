@@ -303,6 +303,82 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Stream-stream join state must survive a restart: the buffered
+    * unmatched rows (waiting on a match or a watermark proof) live in
+    * the state store, so a recovered query must neither re-emit
+    * phase-1 matches nor lose the null rows owed for phase-1
+    * unmatched events.
+    */
+  test("full-outer stream join recovers exactly-once from checkpoint") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_fojckpt_src").toFile
+    val ckpt = Files.createTempDirectory("graft_fojckpt_loc").toString
+    val outDir = Files.createTempDirectory("graft_fojckpt_out").toString
+    dir.deleteOnExit()
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+
+    def writeBatch(i: Int, rows: Seq[(Long, Long, String, Long)]): Unit = {
+      import spark.implicits._
+      val tmp = Files.createTempDirectory(s"graft_fojckpt_part$i").toString
+      rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        new java.io.File(dir, f"batch$i%02d.parquet").toPath)
+    }
+
+    def runPhase(): Unit = {
+      def side() = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val clicks = side().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "15 seconds")
+      val purchases = side().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "15 seconds")
+      val joined = clicks.join(purchases,
+        expr("""user_id = p_user_id AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + interval 24 hours"""), "full_outer")
+        .select(col("click_id"), col("purchase_id"))
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    }
+    def committed: Seq[(Option[Long], Option[Long])] =
+      spark.read.parquet(outDir).collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }.toSeq
+
+    // phase 1: u1 matches; u2 click + u3 purchase buffer unmatched,
+    // then u4's 30h-later pair advances the watermark → nulls flush
+    writeBatch(0, Seq((1L, 1L, "click", 1000L), (2L, 1L, "purchase", 4600L),
+      (3L, 2L, "click", 1000L), (4L, 3L, "purchase", 8200L)))
+    writeBatch(1, Seq((5L, 4L, "click", 109000L), (6L, 4L, "purchase", 110000L)))
+    runPhase()
+    val phase1 = committed
+    assert(phase1.nonEmpty, "phase 1 produced no rows")
+
+    // phase 2: restart from the checkpoint; only u5's match may appear
+    writeBatch(2, Seq((7L, 5L, "click", 250000L), (8L, 5L, "purchase", 251000L)))
+    runPhase()
+    val all = committed
+    val expected = Seq((Some(1L), Some(2L)), (Some(5L), Some(6L)),
+      (Some(3L), None), (None, Some(4L)), (Some(7L), Some(8L)))
+    assert(all.sortBy(_.toString) === expected.sortBy(_.toString),
+      s"multiset mismatch (replay or loss): $all")
+    assert(phase1.toSet.subsetOf(all.toSet))
+  }
+
   test("q75 session windows merge across micro-batches") {
     import java.nio.file.Files
     // user 1: five events with gaps < 30 min that STRADDLE the first
