@@ -2,23 +2,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Dump all JVM thread stacks to stderr — fired by the watchdog when
-    * a query exceeds the soft deadline, to diagnose where a slow run
-    * actually spends its time (the r1/r2 bench bimodality was only
-    * attributable after the fact; this makes the next spike
-    * self-describing).
+  /** Where watchdog thread dumps are persisted. stderr alone proved
+    * useless post-hoc: the driver records only a tail of stdout, so the
+    * r5 q102 spike (47 s driver-side vs ~6 s in reruns) left no stack
+    * evidence. A file next to the bench output survives the run.
     */
-  private def dumpStacks(tag: String): Unit = {
-    System.err.println(s"[bench-watchdog] $tag exceeded soft deadline; thread dump:")
+  private val dumpPath =
+    sys.env.getOrElse("SPARK_GRAFT_DUMP_FILE", "bench_dumps.txt")
+
+  /** Queries that tripped the watchdog this run (reported in the JSON
+    * so a slow total is attributable without even opening the dump
+    * file).
+    */
+  private val dumped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Dump all JVM thread stacks — fired by the watchdog when a query
+    * exceeds the soft deadline, to diagnose where a slow run actually
+    * spends its time (the r1/r2 bench bimodality was only attributable
+    * after the fact; this makes the next spike self-describing).
+    * Written to [[dumpPath]] (appended, timestamped) and summarized on
+    * stderr.
+    */
+  private def dumpStacks(tag: String): Unit = synchronized {
+    System.err.println(s"[bench-watchdog] $tag exceeded soft deadline; dump -> $dumpPath")
     import scala.jdk.CollectionConverters._
+    val sb = new StringBuilder
+    sb ++= s"==== [bench-watchdog] $tag at ${java.time.Instant.now()} ====\n"
     Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
-      System.err.println(s"  --- ${t.getName} (${t.getState})")
-      frames.take(12).foreach(f => System.err.println(s"      at $f"))
+      sb ++= s"  --- ${t.getName} (${t.getState})\n"
+      frames.take(24).foreach(f => sb ++= s"      at $f\n")
     }
+    val w = new java.io.FileWriter(dumpPath, true)
+    try w.write(sb.result()) finally w.close()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    new java.io.File(dumpPath).delete() // fresh dump file per run
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +84,10 @@ object Bench {
           var k = 0
           while (k < 4) {
             Thread.sleep(30000)
-            if (!done.get()) dumpStacks(s"$name +${30 * (k + 1)}s")
+            if (!done.get()) {
+              dumped.add(name)
+              dumpStacks(s"$name +${30 * (k + 1)}s")
+            }
             k += 1
           }
         } catch { case _: InterruptedException => () }
@@ -100,14 +124,24 @@ object Bench {
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    // Compact summary LAST: the driver records only the tail of the
-    // output, and with 126 queries the full line above outgrows that
-    // window — r03's record lost its own total to front-truncation.
-    // Everything a reader needs survives in this short final line.
+    val dmp = dumped.toArray.map(d => jstr(d.toString)).sorted
+      .mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"dumped":$dmp,"sf":"$sfDir"}"""
+    println(full)
+    // The driver records only a tail of stdout and with 127 queries the
+    // full line outgrows that window (r03 lost its own total to
+    // front-truncation; r05's per-query map was truncated too) — so the
+    // COMPLETE JSON also goes to a file the driver / next round can read.
+    locally {
+      val w = new java.io.FileWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      try { w.write(full); w.write("\n") } finally w.close()
+    }
+    // Compact summary LAST: everything a tail-window reader needs.
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"dumped":$dmp,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
