@@ -202,15 +202,31 @@ object StreamingQueries {
             val incoming = rows.map(r => (r._1, micros(r._3), r._4)).toList
             val all = (buffered ++ incoming).sortBy(e => (e._2, e._1))
             // Emit one result per *incoming* event: sum over all events
-            // of this key with ts in [ts_e - 10 s, ts_e].
+            // of this key with ts in [ts_e - 10 s, ts_e]. A per-event
+            // rescan of the buffer is O(m × occupancy) — quadratic when
+            // one micro-batch delivers a key's whole history (the
+            // drain-a-backlog shape at scale) — so instead: exact-
+            // decimal prefix sums over the sorted buffer + two monotone
+            // pointers. Prefix-difference of exact decimal sums equals
+            // the direct sum, so results are bit-identical to the
+            // rescan form.
+            val arr = all.toArray
+            val n = arr.length
+            val prefix = new Array[java.math.BigDecimal](n + 1)
+            prefix(0) = java.math.BigDecimal.ZERO
+            var i = 0
+            while (i < n) { prefix(i + 1) = prefix(i).add(d2(arr(i)._3)); i += 1 }
             val newIds = incoming.map(_._1).toSet
-            val results = all.iterator.filter(e => newIds.contains(e._1)).map {
-              case (id, ts, _) =>
-                val lo = ts - RangeWindowMicros
-                val sum = all.iterator
-                  .filter(e => e._2 >= lo && e._2 <= ts)
-                  .foldLeft(java.math.BigDecimal.ZERO)((acc, e) => acc.add(d2(e._3)))
-                (id, key, ts, sum.doubleValue)
+            var lo = 0 // first index with ts >= ts_e - 10 s
+            var hi = 0 // first index with ts > ts_e
+            val results = Iterator.range(0, n).flatMap { j =>
+              val (id, ts, _) = arr(j)
+              if (!newIds.contains(id)) None
+              else {
+                while (hi < n && arr(hi)._2 <= ts) hi += 1
+                while (arr(lo)._2 < ts - RangeWindowMicros) lo += 1
+                Some((id, key, ts, prefix(hi).subtract(prefix(lo)).doubleValue))
+              }
             }.toList
             // Evict events no in-delay late event could still window
             // over; expire the whole key once the watermark passes the
@@ -220,6 +236,104 @@ object StreamingQueries {
             state.update(all.filter(_._2 >= horizon))
             state.setTimeoutTimestamp(
               (newest + RangeWindowMicros + AllowedDelayMicros) / 1000L + 1L)
+            results.iterator
+          }
+      }
+      .toDF("event_id", "province_id", "ts_us", "pay_amount")
+  }
+
+  /** Watermark-HELD emission variant of [[rangeStateTransform]]: an
+    * event's window sum is emitted only once the watermark passes its
+    * event time — at which point no admissible arrival can land at or
+    * before it, so the trailing window is provably complete. This is
+    * the reference's effective emission order (Flink's OVER window
+    * emits on watermark advance, window_aggregation.py:48-50,75-82):
+    * batch-exact for ANY in-delay arrival order, where the immediate
+    * mode deviates on out-of-order batches (it emits an event's sum
+    * before a later batch delivers an in-delay mate at-or-before it —
+    * documented deviation, spec'd in StreamingSpec).
+    *
+    * The price of exactness: events within (delay) of the stream's
+    * maximum event time stay withheld at drain (the watermark never
+    * passes them) — the correct streaming answer, but not a full dump,
+    * which is why the DEMO query (q29) keeps immediate emission and
+    * this mode ships as the semantics-exact alternative.
+    *
+    * State: one buffer per key holding (id, ts, value, emitted); rows
+    * are dropped once BOTH emitted and behind (newest − window −
+    * delay); pending rows schedule an EventTimeTimeout at their event
+    * time so they flush as soon as the watermark passes, data or not.
+    * Per-batch work is linear: exact-decimal prefix sums + two monotone
+    * pointers, as in the immediate mode.
+    */
+  def rangeStateTransformHeld(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val typed = events
+      .withWatermark("ts", "15 seconds")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def d2(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+
+    typed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[(Long, Long, Double, Boolean)],
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+         state: GroupState[List[(Long, Long, Double, Boolean)]]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val buffered = state.getOption.getOrElse(Nil)
+          val incoming = rows.map(r => (r._1, micros(r._3), r._4, false)).toList
+          val all = (buffered ++ incoming).sortBy(e => (e._2, e._1))
+          val arr = all.toArray
+          val n = arr.length
+          if (n == 0) { state.remove(); Iterator.empty }
+          else {
+            val prefix = new Array[java.math.BigDecimal](n + 1)
+            prefix(0) = java.math.BigDecimal.ZERO
+            var i = 0
+            while (i < n) {
+              prefix(i + 1) = prefix(i).add(d2(arr(i)._3)); i += 1
+            }
+            var lo = 0
+            var hi = 0
+            val results = scala.collection.mutable.ListBuffer
+              .empty[(Long, Long, Long, Double)]
+            val next = new Array[(Long, Long, Double, Boolean)](n)
+            var j = 0
+            while (j < n) {
+              val (id, ts, v, emitted) = arr(j)
+              if (!emitted && ts <= wm) {
+                // watermark passed: the trailing window is complete
+                while (hi < n && arr(hi)._2 <= ts) hi += 1
+                while (arr(lo)._2 < ts - RangeWindowMicros) lo += 1
+                results += ((id, key, ts,
+                  prefix(hi).subtract(prefix(lo)).doubleValue))
+                next(j) = (id, ts, v, true)
+              } else next(j) = (id, ts, v, emitted)
+              j += 1
+            }
+            // retain: anything still pending, plus emitted rows a
+            // future admissible event's window could still reach
+            val newest = arr(n - 1)._2
+            val horizon = newest - RangeWindowMicros - AllowedDelayMicros
+            val keep = next.filter(e => !e._4 || e._2 >= horizon).toList
+            val pending = keep.filter(!_._4)
+            if (pending.nonEmpty) {
+              state.update(keep)
+              // flush as soon as the watermark passes the oldest
+              // pending event (ms, +1 so "passed" is strict)
+              state.setTimeoutTimestamp(pending.map(_._2).min / 1000L + 1L)
+            } else if (keep.nonEmpty) {
+              state.update(keep)
+              state.setTimeoutTimestamp(
+                (newest + RangeWindowMicros + AllowedDelayMicros) / 1000L + 1L)
+            } else state.remove()
             results.iterator
           }
       }

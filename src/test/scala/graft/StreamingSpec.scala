@@ -102,6 +102,10 @@ class StreamingSpec extends AnyFunSuite {
       // Watermark-driven state lifecycle: the buffers must hold only
       // the (window + delay) tail per key, not the whole stream.
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val stateBytes = q.lastProgress.stateOperators
+        .map(_.memoryUsedBytes).sum
+      info(s"q29 retained state: $stateRows rows, $stateBytes bytes " +
+        s"after ${eventBatches.flatten.size} input events")
       assert(stateRows <= 4, s"state leaked: $stateRows rows retained")
     } finally {
       q.stop(); q.awaitTermination()
@@ -111,6 +115,57 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     spark.catalog.dropTempView(name)
     assert(streamed === rangeWindowTruth)
+  }
+
+  /** The watermark-held emission variant restores reference-exact
+    * sums for OUT-OF-ORDER batch arrivals: batch 1 delivers an
+    * in-delay event (ts 104) BEHIND an already-seen event (ts 106).
+    * Immediate mode emitted event 2's window in batch 0 — before its
+    * in-delay mate existed — so its sum misses it; held mode emits
+    * only once the watermark proves the window complete, matching the
+    * batch RANGE window for every emitted event. Events the final
+    * watermark never passes stay withheld (correct streaming
+    * semantics; asserted too).
+    */
+  test("held emission matches batch truth on out-of-order batches where immediate deviates") {
+    import java.nio.file.Files
+    val batches = Seq(
+      Seq((1L, 100L, 1L, 1.0), (2L, 106L, 1L, 2.0)),
+      // 104 is in-delay late (wm after batch 0 = 106-15 = 91): its
+      // arrival retro-affects event 2's [96,106] window
+      Seq((3L, 104L, 1L, 4.0), (4L, 130L, 1L, 8.0)),
+      Seq((5L, 200L, 1L, 16.0))) // pushes wm to 185: flushes 1,2,3,4
+    def runMode(held: Boolean): Map[Long, Double] = {
+      val dir = Files.createTempDirectory("graft_held_stream").toFile
+      dir.deleteOnExit()
+      batches.zipWithIndex.foreach { case (rows, i) => writeBatchFile(dir, i, rows) }
+      val src = eventsFileStream(dir)
+      val out =
+        if (held) graft.streaming.StreamingQueries.rangeStateTransformHeld(spark, src)
+        else graft.streaming.StreamingQueries.rangeStateTransform(spark, src)
+      val name = s"held_sink_${System.nanoTime()}_$held"
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      val rows = spark.table(name).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("pay_amount"))
+        .toMap
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    // batch RANGE-window truth over ALL events
+    val truth = Map(1L -> 1.0, 2L -> 7.0, 3L -> 5.0, 4L -> 8.0, 5L -> 16.0)
+    val held = runMode(held = true)
+    val immediate = runMode(held = false)
+    // held: every emitted sum is batch-exact; event 5 (beyond the
+    // final watermark 185) is withheld, 1-4 all emitted
+    assert(held.keySet === Set(1L, 2L, 3L, 4L))
+    held.foreach { case (id, v) => assert(v === truth(id), s"event $id") }
+    // immediate: emits everything, but event 2's sum (emitted in batch
+    // 0) misses the batch-1 in-delay mate — the documented deviation
+    assert(immediate.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(immediate(2L) === 3.0, "immediate mode emitted 2 before its late mate")
+    assert(immediate(3L) === truth(3L))
   }
 
   test("q29 transform recovers exactly-once from checkpoint on RocksDB state store") {
@@ -298,6 +353,86 @@ class StreamingSpec extends AnyFunSuite {
         (Some(3L), None), (None, Some(4L)), (Some(7L), Some(8L))))
       val n = spark.table(name).count()
       assert(n === 5, s"expected 5 physical rows, got $n (duplicate emits)")
+    } finally {
+      q.stop(); spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
+  /** MEASURED state bounds for the watermarked stream-stream join
+    * (q57/q98/q125's shape): the "state is O(window + delay), not
+    * O(stream)" claim, asserted from `stateOperators` numbers instead
+    * of argued from design. Four epochs arrive >24 h apart (past the
+    * join range), so each epoch's buffered rows become evictable as
+    * the next epoch's watermark lands; retained state must track the
+    * watermark horizon, not the cumulative input.
+    */
+  test("stream-stream join state stays bounded by the watermark horizon") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_sb_stream").toFile
+    dir.deleteOnExit()
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def writeBatch(i: Int, rows: Seq[(Long, Long, String, Long)]): Unit = {
+      import spark.implicits._
+      val tmp = Files.createTempDirectory(s"graft_sb_part$i").toString
+      rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"batch$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    def sideStream() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val clicks = sideStream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "15 seconds")
+    val purchases = sideStream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "15 seconds")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 24 hours"""), "full_outer")
+    val name = s"sb_mb_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def stateRows(): Long = {
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (ps.isEmpty) 0L else ps.last.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // 4 epochs, ~30 h apart (> 24 h range + 15 s delay): 4 rows each
+      // (2 clicks, 2 purchases; one matched pair, two strays per epoch)
+      val epochGap = 108000L // 30 h in seconds
+      val perEpoch = 4
+      val trajectory = (0 until 4).map { i =>
+        val t0 = 1000L + i * epochGap
+        writeBatch(i, Seq(
+          (i * 10 + 1L, i * 10 + 1L, "click", t0),
+          (i * 10 + 2L, i * 10 + 1L, "purchase", t0 + 600L),
+          (i * 10 + 3L, i * 10 + 2L, "click", t0),
+          (i * 10 + 4L, i * 10 + 3L, "purchase", t0 + 700L)))
+        q.processAllAvailable()
+        val s = stateRows()
+        info(f"epoch $i: cumulative input ${(i + 1) * perEpoch}, state rows $s")
+        s
+      }
+      val totalInput = 4L * perEpoch
+      // Eviction keeps state at ~the newest epoch (+ the one straddling
+      // the horizon during cleanup), far below cumulative input.
+      assert(trajectory.last <= 2L * perEpoch,
+        s"state ${trajectory.last} rows not bounded by the watermark " +
+          s"horizon (input $totalInput)")
+      assert(trajectory.max < totalInput,
+        s"state grew with the stream: ${trajectory.mkString(",")}")
     } finally {
       q.stop(); spark.sql(s"DROP TABLE IF EXISTS $name")
     }
