@@ -112,12 +112,27 @@ object DedupQueries {
     * r2/r3 bench bimodality).
     */
   private def attachFeatures(cands0: DataFrame, feats: DataFrame,
+      idCol: String, featCol: String): DataFrame =
+    attachFeaturesBy(cands0, ids => feats.join(broadcast(ids), idCol),
+      idCol, featCol)
+
+  /** Generalized verify fetch: `featsOf` receives the candidate-id set
+    * and returns their (id, feature) rows. For COMPUTED features
+    * (shingles/grams) the caller prunes the raw scan BEFORE the
+    * feature map — `raw.join(broadcast(ids))` then tokenize+shingle —
+    * so the fetch costs O(candidates), not a second corpus-wide
+    * feature pass (measured at ×8: the corpus-recompute fetch held
+    * q37 at 16.6 s with the candidate join above the gram projection,
+    * because Catalyst does not push joins below projects).
+    */
+  private def attachFeaturesBy(cands0: DataFrame,
+      featsOf: DataFrame => DataFrame,
       idCol: String, featCol: String): DataFrame = {
     val cands = cands0.localCheckpoint()
     val candIds = cands.select(col("a").as(idCol))
       .union(cands.select(col("b").as(idCol)))
       .distinct().localCheckpoint()
-    val pruned = feats.join(broadcast(candIds), idCol).localCheckpoint()
+    val pruned = featsOf(candIds).localCheckpoint()
     cands
       .join(broadcast(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
       .join(broadcast(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
@@ -145,13 +160,16 @@ object DedupQueries {
       |       CAST(LENGTH(text) AS INT) AS text_len
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
-  /** Word-2-shingle sets (distinct), the feature for q35's verify. */
-  private def shingled2(s: SparkSession, dir: String): DataFrame =
-    fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
+  /** (doc_id, text) → word-2-shingle sets (distinct), the feature for
+    * q35's blocking and verify. Split from the scan so the verify
+    * fetch can prune rows BEFORE the tokenize+shingle map.
+    */
+  private[queries] def shingle2Of(raw: DataFrame): DataFrame = raw
+    .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"),
+      array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
+
 
   // ---------------------------------------------------------------- q35
   /** MinHash(128) + LSH(16 bands × 8 rows) near-dup pairs, verified
@@ -184,14 +202,20 @@ object DedupQueries {
     pairCache.getOrElseUpdate(dir,
       nearDupPairsUncached(s0, dir).localCheckpoint())
 
-  private def nearDupPairsUncached(s0: SparkSession, dir: String): DataFrame =
-    minHashPairs(shingled2(dedupSession(s0), dir))
+  private def nearDupPairsUncached(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
+    minHashPairs(fanOut(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+  }
 
-  /** MinHash-LSH pair pipeline over an explicit (doc_id, shingles)
-    * table (factored out so [[graft.ScaleStress]] can feed a
-    * replicated corpus).
+  /** MinHash-LSH pair pipeline over an explicit (doc_id, text) corpus
+    * (factored so a replicated stress corpus can be fed directly).
+    * The verify fetch prunes the RAW rows to the candidate-id set
+    * before re-running the shingle map, so its cost follows the
+    * candidate count, not the corpus (see [[attachFeaturesBy]]).
     */
-  private[graft] def minHashPairs(sh: DataFrame): DataFrame = {
+  private[graft] def minHashPairs(raw: DataFrame): DataFrame = {
+    val sh = shingle2Of(raw)
     val sigs = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
       .select(col("doc_id"),
         posexplode(Hashing.bandKeys(col("sig"), bands = 16, rows = 8))
@@ -199,7 +223,9 @@ object DedupQueries {
     val buckets = sigs
       .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
     val cands = bucketPairs(buckets)
-    attachFeatures(cands, sh, "doc_id", "shingles")
+    attachFeaturesBy(cands,
+      ids => shingle2Of(raw.join(broadcast(ids), "doc_id")),
+      "doc_id", "shingles")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
@@ -262,6 +288,18 @@ object DedupQueries {
           .as(Seq("sub_idx", "sub")))
       .groupBy("chunk_idx", "chunk", "sub_idx", "sub")
       .agg(collect_list(col("m")).as("members"))
+      // A level-2 sub-bucket can still overflow (≥65 docs agreeing on
+      // the same 15 code bits = an exact-dup flood, q34's job) and is
+      // dropped — but never SILENTLY: `observe` publishes how many
+      // buckets/members the cap discarded as query metrics on the same
+      // action (no extra job), so a popular near-dup cluster crossing
+      // the cap is visible in QueryExecutionListener output instead of
+      // a quiet recall loss. Asserted in DedupSpec.
+      .observe("simhash_reblock",
+        count(when(size(col("members")) > MaxBucket, 1))
+          .as("dropped_subbuckets"),
+        coalesce(sum(when(size(col("members")) > MaxBucket,
+          size(col("members")))), lit(0L)).as("dropped_members"))
       .filter(size(col("members")).between(2, MaxBucket))
     memberPairs(small, maxHamming)
       .union(memberPairs(reblocked, maxHamming))
@@ -282,46 +320,194 @@ object DedupQueries {
     * candidate-prune fetch machinery (`attachFeatures`) exists for
     * features too wide to ship through blocking.
     */
+  /** q36's raw pair set (a, b, hamming) — the operator output proper,
+    * consumed by [[graft.ScaleStress]] and DedupSpec.
+    */
+  private[graft] def simHashPairsFor(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
+    simHashPairs(simHashDocs(s, dir))
+  }
+
+  private def simHashDocs(s: SparkSession, dir: String): DataFrame =
+    Hashing.simHashes(shingle2Of(fanOut(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")))), "doc_id", "shingles")
+      .select(col("doc_id"), col("simhash").as("sim"))
+
+  /** q36 query entry: the q121-style CONTRACT view over the SimHash
+    * pair set, so the driver's DuckDB gate hash-checks it (the codes
+    * derive from xxhash64; SQL can't reproduce them — but these
+    * invariants are exact):
+    *  - `n_exact_dup_pairs` is replicable: pairs with IDENTICAL
+    *    distinct-2-shingle sets, computed by DuckDB from the text;
+    *  - `exact_recall_ok`: every such pair MUST appear in the SimHash
+    *    output (identical sets ⇒ identical codes ⇒ Hamming 0, and the
+    *    two-level blocking must surface the pair) — a broken signature,
+    *    blocking, or cap regression flips it;
+    *  - `hamming_bound_ok` / `ordering_ok`: every emitted pair within
+    *    the Hamming ≤ 7 contract, canonically a < b, no self-pairs.
+    * The pair LISTING stays asserted by DedupSpec (planted-pair and
+    * oversized-bucket specs) and ScaleStress (×8 clique recall).
+    */
   private def q36(s0: SparkSession, dir: String): DataFrame = {
     val s = dedupSession(s0)
-    // Bind `toks` as an attribute BEFORE the n-gram HOF: a lambda body
-    // referencing the raw tokenize expression re-evaluates the whole
-    // regex chain once per n-gram (measured ~10 s/pass at sf0.1 vs
-    // ~1 s bound).
-    val shingled = fanOut(Tables.documents(s, dir)
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
-      .filter(size(col("shingles")) >= 1)
+    val shingled = shingle2Of(fanOut(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))))
     val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
       .select(col("doc_id"), col("simhash").as("sim"))
-    simHashPairs(docs).orderBy("a", "b")
+    // feeds three aggregates below — materialize the pair pipeline once
+    val pairs = simHashPairs(docs).localCheckpoint()
+    val canon = shingled
+      .select(col("doc_id"), to_json(array_sort(col("shingles"))).as("gset"))
+      .localCheckpoint()
+    val exactPairs = canon.toDF("a", "ga")
+      .join(canon.toDF("b", "gb"), col("ga") === col("gb") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val nExact = exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
+    val missed = exactPairs.join(pairs, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val bounds = pairs.agg(
+      coalesce(expr("bool_and(hamming <= 7)"), lit(true))
+        .as("hamming_bound_ok"),
+      coalesce(expr("bool_and(a < b)"), lit(true)).as("ordering_ok"))
+    nExact.crossJoin(missed).crossJoin(bounds)
+      .select(col("n_exact_dup_pairs"),
+        (col("n_missed") === 0).as("exact_recall_ok"),
+        col("hamming_bound_ok"), col("ordering_ok"))
   }
+
+  private val q36Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |         list_sort(list_distinct(list_transform(range(1, len(tk)),
+      |           i -> array_to_string(tk[i:i+1], ' ')))) AS gset
+      |  FROM toks WHERE len(tk) >= 2)
+      |SELECT COUNT(*) AS n_exact_dup_pairs, TRUE AS exact_recall_ok,
+      |       TRUE AS hamming_bound_ok, TRUE AS ordering_ok
+      |FROM f x JOIN f y ON x.doc_id < y.doc_id AND x.gset = y.gset""".stripMargin
 
   // ---------------------------------------------------------------- q37
   /** Word-3-gram Jaccard similarity join, blocked on shared k-min
     * shingle hashes (two docs with Jaccard j share the global min hash
     * with prob j; using the k=4 smallest boosts recall to
     * ~1-(1-j)^4 while keeping candidate generation an equi-join).
+    *
+    * The verify stage is guarded so its cost is bounded by the count
+    * of pairs that genuinely NEED an exact Jaccard, not by the
+    * candidate count — the round-5 ×8 stress (a 100%-duplicated
+    * corpus) drove the gram fetch to corpus size and 16.6 s. Each doc
+    * ships a compact signature THROUGH blocking (q36's
+    * carry-the-feature move; ~150 bytes/doc vs corpus-sized gram
+    * arrays):
+    *  - `n` (gram count) + a 2×64-bit content hash of the sorted gram
+    *    hash array. Pairs with equal (n, h1, h2) have equal gram SETS
+    *    (collision odds 2^-128 per pair) → Jaccard exactly 1.0, no
+    *    fetch. On a duplicate-flooded corpus this short-circuits
+    *    nearly every candidate.
+    *  - the bottom-16 k-min sketch (its first 4 entries are the
+    *    blocking keys). Non-exact pairs are dropped when (a) the
+    *    deterministic size bound min(n_a,n_b)/max(n_a,n_b) — an upper
+    *    bound on Jaccard — is below threshold (no false negatives), or
+    *    (b) the sketches share fewer than min(2, n_min−1) elements
+    *    (≥ 1 would be a tautology — candidates share their blocking
+    *    key): exact below 3 grams, P[miss] = binom(16, J, ≤1) ≤ 2.6%
+    *    only at the J ≈ 0.3 boundary and vanishing above it
+    *    (documented trade; the testdata's planted pairs sit at
+    *    J ≈ 0.99 where the miss probability is ~0, so the brute-force
+    *    oracle is unaffected).
     */
+  /** (doc_id, text) → distinct word-3-gram sets, q37's feature. */
+  private def gram3Of(raw: DataFrame): DataFrame = raw
+    .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"),
+      array_distinct(T.wordNGrams(col("toks"), 3)).as("grams"))
+
   private def q37(s0: SparkSession, dir: String): DataFrame = {
     val s = dedupSession(s0)
-    val docs = fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(T.wordNGrams(col("toks"), 3)).as("grams"))
-    val keyed = docs.select(col("doc_id"),
-      explode(Hashing.kMinSketch(
-        Hashing.shingleHashes(col("grams")), 4)).as("minkey"))
+    val raw = fanOut(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")))
+    val docs = gram3Of(raw)
+    // Bind the sorted hash array as an attribute before fanning it
+    // into h1/h2/sk (cf. q36: unbound HOF chains re-evaluate per
+    // reference). `hs` IS the canonical gram-set encoding: sorted
+    // distinct 64-bit gram hashes.
+    val sigs = docs
+      .select(col("doc_id"), size(col("grams")).as("n"),
+        array_sort(array_distinct(Hashing.shingleHashes(col("grams"))))
+          .as("hs"))
+      .select(struct(
+        col("doc_id"), col("n"),
+        xxhash64(col("hs")).as("h1"),
+        xxhash64(lit("g2"), col("hs")).as("h2"),
+        slice(col("hs"), 1, 16).as("sk")).as("m"))
+    // Blocking keys: the bottom-4 min hashes PLUS the exact-signature
+    // h1 (salted into its own key space). The h1 key makes exact-dup
+    // recall deterministic — a clique of copies always shares its own
+    // bucket, sized by the copy count, even when every min-hash key
+    // drowns in an oversized bucket. Measured at ×8: min-keys alone
+    // lose 6,748 of 140,000 clique pairs (popular grams flood their
+    // buckets past MaxBucket); with the h1 key, recall is 100%.
+    val keyed = sigs.select(col("m"),
+      explode(array_union(slice(col("m.sk"), 1, 4),
+        array(xxhash64(lit("exact"), col("m.h1"))))).as("minkey"))
+    // feeds BOTH level filters — materialize once (cf. simHashPairs)
     val buckets = keyed
-      .groupBy("minkey").agg(collect_list("doc_id").as("ids"))
-    val cands = bucketPairs(buckets)
-    attachFeatures(cands, docs, "doc_id", "grams")
+      .groupBy("minkey").agg(collect_list("m").as("members"))
+      .filter(size(col("members")) >= 2)
+      .localCheckpoint()
+    val small = buckets.filter(size(col("members")) <= MaxBucket)
+    // Level 2 (cf. simHashPairs): an OVERSIZED min-key bucket is
+    // re-blocked on its members' next-4 min hashes — two near-dups
+    // stranded in a flooded bucket very likely share another bottom-16
+    // entry (P ≈ 1-(1-J)^4 per level) — capped again; only a
+    // sub-bucket that ALSO overflows is dropped. The re-block exchange
+    // carries only overflow members, not the corpus.
+    val reblocked = buckets.filter(size(col("members")) > MaxBucket)
+      .select(col("minkey"), explode(col("members")).as("m"))
+      .select(col("minkey"), col("m"),
+        explode(slice(col("m.sk"), 5, 4)).as("subkey"))
+      .groupBy("minkey", "subkey").agg(collect_list("m").as("members"))
+      .filter(size(col("members")).between(2, MaxBucket))
+    def expandSigPairs(b: DataFrame): DataFrame = b
+      // spread the quadratic pair expansion (cf. bucketPairs)
+      .repartition(b.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2")).as("exact"),
+        // Overlap ≥ 2, NOT ≥ 1: a min-key candidate pair shares its
+        // blocking key in both sketches BY CONSTRUCTION, so ≥ 1 is a
+        // tautology (measured at ×8: 1.29M "plausible" pairs; ≥ 2
+        // leaves 75k). Tiny docs get an exact relaxation: J ≥ 0.3
+        // with only one shared gram forces min(n) ≤ 2, so the
+        // threshold is min(2, n_min - 1) — no false negatives below
+        // 3 grams, P[miss] ≈ binom(16, J, ≤1) ≤ 2.6% only at the
+        // J ≈ 0.3 boundary (and ~0 at the testdata's planted 0.99).
+        (size(array_intersect(col("x.sk"), col("y.sk"))) >=
+          least(lit(2), least(col("x.n"), col("y.n")) - 1) &&
+          least(col("x.n"), col("y.n")).cast("double") /
+            greatest(col("x.n"), col("y.n")).cast("double") >= 0.3)
+          .as("plausible"))
+    val pairs = expandSigPairs(small).union(expandSigPairs(reblocked))
+      .distinct()
+      // feeds two consumers (shortcut + verify): materialize once
+      .localCheckpoint()
+    val exactPairs = pairs.filter(col("exact"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    val toVerify = pairs.filter(!col("exact") && col("plausible"))
+      .select(col("a"), col("b"))
+    val verified = attachFeaturesBy(toVerify,
+      ids => gram3Of(raw.join(broadcast(ids), "doc_id")),
+      "doc_id", "grams")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
-      .orderBy("a", "b")
+    exactPairs.union(verified).orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- q38
@@ -387,5 +573,6 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q34_dedup_exact"   -> q34Sql,
     "q35_dedup_minhash" -> gramJaccardSql(2, 0.5),
+    "q36_dedup_simhash" -> q36Sql,
     "q37_ngram_jaccard" -> gramJaccardSql(3, 0.3))
 }

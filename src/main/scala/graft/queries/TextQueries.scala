@@ -79,31 +79,82 @@ object TextQueries {
 
   // ---------------------------------------------------------------- q33
   /** Document fingerprinting: full-content hash + k-min-values sketch
-    * of word 3-grams (winnowing-style). Deterministic; rows-only.
-    * The sketch is emitted as its JSON encoding (a string column):
-    * array-typed result columns crash the driver's pandas comparator,
-    * and a fingerprint's wire format is a string anyway.
+    * of word 3-grams (winnowing-style) + token-sequence SimHash, all
+    * in ONE map-side pass — a fingerprint stage at 100 TB is
+    * scan-bound or it's wrong.
+    *
+    * Output is the q121-style CONTRACT view, so the driver's DuckDB
+    * gate hash-checks it (the codes derive from xxhash64, which SQL
+    * cannot reproduce — but their consistency invariants are exact):
+    *  - `n_copies` / `sketch_len` are replicable values (group size by
+    *    normalized text; min(8, distinct-3-gram count));
+    *  - `hash_ok`: equal normalized text ⟺ equal content hash (both
+    *    directions — a nondeterministic hash OR a cross-text collision
+    *    flips it);
+    *  - `kmin_ok`: equal gram SET ⇒ equal sketch (the reverse is not
+    *    an invariant: bottom-8 legitimately collides for overlapping
+    *    sets);
+    *  - `simhash_ok`: equal token sequence ⇒ equal SimHash.
+    * The group-size windows are per-key shuffles of (key, 1) rows —
+    * at 100 TB you'd compute the same booleans with partial-agg
+    * group-size joins; the semantics hash-checked here are identical.
+    * The fingerprint VALUES themselves stay asserted by TextSpec
+    * (determinism + known-answer rows).
     */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
     // Bind `toks` as an attribute before the n-gram HOF (a lambda over
     // the raw tokenize expression re-runs the regex chain per n-gram).
-    val hashes = Hashing.shingleHashes(T.wordNGrams(col("toks"), 3))
-    // SimHashSig is a plain scalar expression (null on empty input), so
-    // all three fingerprint components compute in ONE map-side pass —
-    // no second scan, no join: a fingerprint stage at 100 TB is
-    // scan-bound or it's wrong.
+    val grams = array_distinct(T.wordNGrams(col("toks"), 3))
     val simhash = GraftSqlBridge.column(
       SimHashSig(GraftSqlBridge.expression(col("toks"))))
-    d.select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
+    val fp = d
+      .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
+        T.normText(col("text")).as("nt"),
+        to_json(array_sort(grams)).as("gs"),
         xxhash64(T.normText(col("text"))).as("content_hash"),
-        to_json(Hashing.kMinSketch(hashes, 8)).as("kmin_sketch"),
+        to_json(Hashing.kMinSketch(
+          Hashing.shingleHashes(grams), 8)).as("kmin_sketch"),
+        size(Hashing.kMinSketch(
+          Hashing.shingleHashes(grams), 8)).as("sketch_len"),
         coalesce(simhash, lit(0L)).as("simhash"))
+    val nNt = count(lit(1)).over(Window.partitionBy("nt"))
+    fp.select(
+        col("doc_id"),
+        nNt.as("n_copies"),
+        col("sketch_len"),
+        (count(lit(1)).over(Window.partitionBy("content_hash")) === nNt &&
+          count(lit(1)).over(Window.partitionBy("nt", "content_hash")) === nNt)
+          .as("hash_ok"),
+        (count(lit(1)).over(Window.partitionBy("gs", "kmin_sketch")) ===
+          count(lit(1)).over(Window.partitionBy("gs"))).as("kmin_ok"),
+        (count(lit(1)).over(Window.partitionBy("nt", "simhash")) === nNt)
+          .as("simhash_ok"))
       .orderBy("doc_id")
   }
+
+  private val q33Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt,
+      |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, nt,
+      |         CASE WHEN len(tk) >= 3
+      |              THEN list_sort(list_distinct(list_transform(range(1, len(tk) - 1),
+      |                     i -> array_to_string(tk[i:i+2], ' '))))
+      |              ELSE [] END AS grams
+      |  FROM t)
+      |SELECT doc_id,
+      |       COUNT(*) OVER (PARTITION BY nt) AS n_copies,
+      |       CAST(LEAST(8, len(grams)) AS INT) AS sketch_len,
+      |       TRUE AS hash_ok, TRUE AS kmin_ok, TRUE AS simhash_ok
+      |FROM g ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_quality" -> (q30 _),
@@ -142,5 +193,6 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q30_text_quality" -> q30Sql,
     "q31_tokens"       -> q31Sql,
-    "q32_langid"       -> q32Sql)
+    "q32_langid"       -> q32Sql,
+    "q33_fingerprint"  -> q33Sql)
 }

@@ -35,7 +35,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q36 SimHash: reported pairs have hamming<=7 and include most near-identical pairs") {
-    val got = SparkEntry.queries("q36_dedup_simhash")(spark, sf).collect()
+    val got = graft.queries.DedupQueries.simHashPairsFor(spark, sf).collect()
     assert(got.forall(_.getAs[Int]("hamming") <= 7))
     val pairs = got.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
     // SimHash is the weakest of the dedup family on SHORT docs (per-bit
@@ -43,6 +43,49 @@ class DedupSpec extends AnyFunSuite {
     // the clear majority of the j≈0.99 planted pairs.
     assert(bruteforcePairs.intersect(pairs).size >= (bruteforcePairs.size * 0.6).toInt,
       s"simhash found ${bruteforcePairs.intersect(pairs).size} of ${bruteforcePairs.size} planted pairs")
+  }
+
+  test("q36 contract view: recall/bound booleans hold; drop metrics observed") {
+    val df = SparkEntry.queries("q36_dedup_simhash")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Boolean]("exact_recall_ok"), "exact-dup pair missed")
+    assert(r.getAs[Boolean]("hamming_bound_ok"), "pair beyond hamming<=7")
+    assert(r.getAs[Boolean]("ordering_ok"), "pair not canonical a<b")
+    assert(r.getAs[Long]("n_exact_dup_pairs") >= 0L)
+  }
+
+  /** A level-2 sub-bucket overflow (≥65 docs agreeing on 15 code
+    * bits — an exact-dup flood) is dropped by design, but NOT
+    * silently: the `observe`d metrics must report how many
+    * buckets/members the cap discarded. 70 identical codes flood
+    * every level-1 chunk bucket (70 > MaxBucket) and then every
+    * level-2 sub-bucket (still 70 members), so all 8×8 sub-buckets
+    * drop and the pair output is empty — q34's job, visibly so.
+    * (The 0-drop case is asserted in the two-level recovery test
+    * below; a runtime-empty reblock branch would be pruned by AQE
+    * together with its metric node, so both assertions live on
+    * corpora whose oversized branch is non-empty.)
+    */
+  test("simHashPairs surfaces oversized-subbucket drops as observed metrics") {
+    import spark.implicits._
+    // AQE off, as on the dedup session the real pipeline runs on: with
+    // AQE on, a flood empties everything downstream of the observe and
+    // AQE's empty-relation propagation would prune the metric node
+    // with the subtree (verified behavior).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flood = (0 until 70).map(i => (i.toLong, 0x1234567890ABCDEFL))
+      val pairsDf = graft.queries.DedupQueries.simHashPairs(flood.toDF("doc_id", "sim"))
+      val rows = pairsDf.collect()
+      assert(rows.isEmpty, "a uniform flood must yield no blocked pairs")
+      val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
+      assert(m.isDefined, "simhash_reblock metric not observed")
+      assert(m.get.getAs[Long]("dropped_subbuckets") === 64L)
+      assert(m.get.getAs[Long]("dropped_members") === 64L * 70L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q37 n-gram Jaccard: all reported pairs verified >= 0.3; planted pairs found") {
@@ -82,11 +125,17 @@ class DedupSpec extends AnyFunSuite {
       (a, ca) <- all; (b, cb) <- all if a < b
       if java.lang.Long.bitCount(ca ^ cb) <= 7
     } yield (a, b)).toSet
-    val got = graft.queries.DedupQueries.simHashPairs(all.toDF("doc_id", "sim"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsDf = graft.queries.DedupQueries.simHashPairs(all.toDF("doc_id", "sim"))
+    val got = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.size >= 20, "construction plants >= 20 pairs")
     assert(got === expected,
       s"missed: ${expected -- got}; spurious: ${got -- expected}")
+    // the oversized bucket here re-blocks WITHOUT overflow: the drop
+    // metric must say 0, not stay silent
+    val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
+    assert(m.isDefined, "simhash_reblock metric not observed")
+    assert(m.get.getAs[Long]("dropped_subbuckets") === 0L)
+    assert(m.get.getAs[Long]("dropped_members") === 0L)
   }
 
   test("q34 exact dedup keeps one row per distinct text") {

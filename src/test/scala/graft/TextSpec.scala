@@ -79,12 +79,43 @@ class TextSpec extends AnyFunSuite {
     assert(scores.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
   }
 
+  /** The fingerprint VALUES (content hash / k-min sketch / SimHash):
+    * deterministic across runs, distinct for distinct docs. (q33's
+    * query entry is the contract view over these — tested below — so
+    * the raw codes are asserted here from the same expressions.)
+    */
   test("fingerprints are deterministic and distinct for distinct docs") {
-    val fp = SparkEntry.queries("q33_fingerprint")(spark, sf).collect()
+    import org.apache.spark.sql.GraftSqlBridge
+    def fingerprints() = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        xxhash64(T.normText(col("text"))).as("content_hash"),
+        to_json(graft.functions.Hashing.kMinSketch(
+          graft.functions.Hashing.shingleHashes(
+            array_distinct(T.wordNGrams(col("toks"), 3))), 8)).as("kmin"),
+        coalesce(GraftSqlBridge.column(graft.functions.SimHashSig(
+          GraftSqlBridge.expression(col("toks")))), lit(0L)).as("simhash"))
+      .orderBy("doc_id")
+    val fp = fingerprints().collect()
     val hashes = fp.map(_.getAs[Long]("content_hash"))
     assert(hashes.distinct.length === hashes.length) // all 500 texts distinct
-    val fp2 = SparkEntry.queries("q33_fingerprint")(spark, sf).collect()
+    val fp2 = fingerprints().collect()
     assert(fp.map(_.getAs[Long]("simhash")).toSeq ===
       fp2.map(_.getAs[Long]("simhash")).toSeq)
+    assert(fp.map(_.getAs[String]("kmin")).toSeq ===
+      fp2.map(_.getAs[String]("kmin")).toSeq)
+  }
+
+  test("q33 contract view: consistency booleans hold, copies counted") {
+    val rows = SparkEntry.queries("q33_fingerprint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("hash_ok")), "content-hash inconsistency")
+    assert(rows.forall(_.getAs[Boolean]("kmin_ok")), "k-min sketch inconsistency")
+    assert(rows.forall(_.getAs[Boolean]("simhash_ok")), "simhash inconsistency")
+    // sf0.01 corpus: all 500 texts distinct (q34's invariant)
+    assert(rows.forall(_.getAs[Long]("n_copies") === 1L))
+    assert(rows.forall { r =>
+      val len = r.getAs[Int]("sketch_len"); len >= 0 && len <= 8
+    })
   }
 }
