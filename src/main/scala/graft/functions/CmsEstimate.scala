@@ -48,9 +48,23 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
     val c = cached.get()
-    if (c != null && (c._1 eq bytes)) c._2
+    // Content equality, not `eq`: UnsafeRow.getBinary hands back a
+    // FRESH copy per evaluation, so a reference-keyed memo never hits
+    // on the normal column path and re-deserializes per probe row. The
+    // length check short-circuits the byte compare for distinct
+    // sketches.
+    if (c != null && (c._1.length == bytes.length) &&
+        java.util.Arrays.equals(c._1, bytes)) c._2
     else {
       val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      if (c == null) {
+        // First use on this (pooled) task thread: arrange for the memo
+        // to be dropped at task end so a finished query doesn't pin
+        // ~1 MB of sketch per executor thread (classloader-leak nit).
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => cached.remove())
+      }
       cached.set((bytes, sk))
       sk
     }

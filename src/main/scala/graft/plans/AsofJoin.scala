@@ -62,6 +62,17 @@ object AsofJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name)}"))
+    // Fail at declaration, not with an obscure executor-side ordering /
+    // projection error: the merge compares (key, time) across sides
+    // with one natural ordering, so the paired types must be identical.
+    def sameType(what: String, l: Attribute, r: Attribute): Unit =
+      if (l.dataType != r.dataType)
+        throw new IllegalArgumentException(
+          s"asof: $what column types must match across sides — " +
+            s"left ${l.name}: ${l.dataType.simpleString}, " +
+            s"right ${r.name}: ${r.dataType.simpleString}")
+    sameType("key", attr(lPlan, key), attr(rPlan, key))
+    sameType("time", attr(lPlan, leftTime), attr(rPlan, rightTime))
     val node = AsofJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
       attr(lPlan, leftTime), attr(rPlan, rightTime))
@@ -182,13 +193,22 @@ case class AsofJoinExec(
       lIter.map { lRow =>
         val lkt = lKT(lRow)
         // consume every right row at-or-before (key, time); the last
-        // consumed row of the SAME key is the as-of match
+        // consumed row of the SAME key is the as-of match. SQL
+        // comparison semantics, not ordering semantics, for nulls: a
+        // null right key or time can never satisfy `r.key = l.key AND
+        // r.time <= l.time`, so null-keyed/timed right rows are
+        // consumed (they sort first) but never buffered as candidates.
         while (rBuf.hasNext && ktOrd.compare(rKT(rBuf.head), lkt) <= 0) {
           val r = rBuf.next()
-          candidate = r.copy()
-          candidateKey = rK(candidate).copy()
+          val rkt = rKT(r)
+          if (!rkt.anyNull) {
+            candidate = r.copy()
+            candidateKey = rK(candidate).copy()
+          }
         }
-        val matched = candidate != null &&
+        // A null left key/time matches nothing either — emit the
+        // null-padded row, mirroring a left outer join on a null key.
+        val matched = !lkt.anyNull && candidate != null &&
           keyOrd.compare(candidateKey, lK(lRow)) == 0
         result(joined(lRow, if (matched) candidate else nullRight))
       }
