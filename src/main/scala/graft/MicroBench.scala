@@ -175,6 +175,78 @@ object MicroBench {
         .collect()
     }
 
+    // ---- shared shingle stage: recompute vs checkpoint (SURVEY §10.3)
+    // q35/q36 each re-run the scan-bound shingle pass today. Two
+    // consumers reading (a) the recomputed pipeline vs (b) one
+    // localCheckpoint materialization (corpus-sized array column)
+    // + two reads — the materialization cost is part of the price.
+    locally {
+      def shingle2 = rawDocs
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(T.wordNGrams(col("toks"), 2)).as("shingles"))
+      bench("shingle2 2 consumers", "localCheckpoint shared", nRaw) {
+        val ck = shingle2.localCheckpoint()
+        ck.select(sum(size(col("shingles")))).collect()
+        ck.select(max(size(col("shingles")))).collect()
+      }
+      bench("shingle2 2 consumers", "recompute per consumer", nRaw) {
+        shingle2.select(sum(size(col("shingles")))).collect()
+        shingle2.select(max(size(col("shingles")))).collect()
+      }
+    }
+
+    // ---- q29 per-key batch update: rescan vs prefix+two-pointer ----
+    // The state-update algorithm inside q29's flatMapGroupsWithState,
+    // on the adversarial single-giant-batch shape (one micro-batch
+    // delivers a key's whole history — the drain-a-backlog case):
+    // the pre-r6 per-event rescan filters the WHOLE buffer per event,
+    // O(m²); the prefix-sum + two-pointer sweep is linear. Identical
+    // exact-decimal arithmetic, identical sums (asserted here).
+    locally {
+      val m = 20000
+      val winUs = 10000000L // 10 s, q29's RANGE window
+      val events = Array.tabulate(m)(i =>
+        (i.toLong, i.toLong * 1000000L, (i % 97) / 10.0))
+      def d2(v: Double) = java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+      var sinkA = 0.0
+      var sinkB = 0.0
+      bench(s"q29 batch update", "prefix sums + two pointers", m) {
+        val prefix = new Array[java.math.BigDecimal](m + 1)
+        prefix(0) = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < m) { prefix(i + 1) = prefix(i).add(d2(events(i)._3)); i += 1 }
+        var lo = 0; var hi = 0; var acc = 0.0; var j = 0
+        while (j < m) {
+          val ts = events(j)._2
+          while (hi < m && events(hi)._2 <= ts) hi += 1
+          while (events(lo)._2 < ts - winUs) lo += 1
+          acc += prefix(hi).subtract(prefix(lo)).doubleValue
+          j += 1
+        }
+        sinkA = acc
+      }
+      bench(s"q29 batch update", "per-event buffer rescan", m) {
+        var acc = 0.0; var j = 0
+        while (j < m) {
+          val ts = events(j)._2
+          val lo = ts - winUs
+          var s = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < m) {
+            val e = events(i)
+            if (e._2 >= lo && e._2 <= ts) s = s.add(d2(e._3))
+            i += 1
+          }
+          acc += s.doubleValue
+          j += 1
+        }
+        sinkB = acc
+      }
+      assert(sinkA == sinkB, "two-pointer sums diverged from rescan")
+    }
+
     // ---- bounded group sample: k-heap aggregate vs window top-k ----
     // The aggregate's partial buffers cap at k ids, so the exchange
     // ships <= k longs per (partition, group); the window shape must
