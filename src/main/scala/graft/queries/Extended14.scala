@@ -29,9 +29,11 @@ object Extended14 {
     * feature arrays. Per-round `localCheckpoint` cuts the lineage so
     * round k+1 re-reads round k's materialized labels, not the whole
     * history (the same iterative-convergence shape GraphX's connected
-    * components uses; for planet-scale graphs with long chains you'd
-    * switch to the large-star/small-star algorithm, which contracts
-    * star centers and converges in O(log n) rounds).
+    * components uses). If the diameter exceeds the round cap the
+    * labeling escalates automatically to large-star/small-star
+    * (O(log n) rounds regardless of diameter — see
+    * [[ConnectedComponents]]), so chain-heavy graphs degrade in
+    * round count, never in correctness.
     *
     * Output: one row per doc that appears in any near-dup pair, its
     * cluster id (= min doc_id reachable), the cluster size, and the
@@ -60,23 +62,12 @@ object Extended14 {
       // session can't affect the blocking/verify stages above. At real
       // scale, size this to the pair volume instead.)
       pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", "4")
-      val nbr = pairs.union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
-      var labels = nbr.select(col("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val prop = nbr
-          .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
-          .select(col("id"), col("lbl"))
-        val next = labels.select(col("id"), col("lbl")).union(prop)
-          .groupBy("id").agg(min(col("lbl")).as("lbl")).localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .filter(col("lbl") =!= col("prev")).count()
-        labels = next
-        rounds += 1
-      }
-      labels
+      // Min-label with automatic escalation to large-star/small-star
+      // if the graph's diameter exceeds the round cap (r6: the cap
+      // used to return silently-partial labels on a long chain; now
+      // it degrades to the O(log n) algorithm instead — see
+      // ConnectedComponents).
+      ConnectedComponents.labelsFor(pairs)
     })
 
   private def q102(s0: SparkSession, dir: String): DataFrame =
