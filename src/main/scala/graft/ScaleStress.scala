@@ -126,6 +126,27 @@ object ScaleStress {
     // verify stage sees only the non-exact remainder.
     cliqueCheck("q37_ngram_jaccard", want37)
 
+    // q102 at ×8: cluster structure over the replicated pair graph.
+    // Every base doc's 8 replicas are an exact-copy clique, so every
+    // connected component holds all 8 replicas of each base member —
+    // cluster sizes must be multiples of 8 (16+ where base-level
+    // near-dups merge components), and the labeling must cover every
+    // doc that appears in a pair.
+    locally {
+      val (labels, secs) = timed {
+        SparkEntry.queries("q102_dedup_cluster")(spark, outDir)
+          .localCheckpoint()
+      }
+      val nLabeled = labels.count()
+      val badSizes = labels.select(col("cluster_size")).distinct()
+        .filter(col("cluster_size") % 8 =!= 0).count()
+      val nClusters = labels.select(col("cluster_id")).distinct().count()
+      println(f"[stress] q102 ×$rep: $nLabeled%,d docs in $nClusters%,d " +
+        f"clusters in $secs%.1f s")
+      assert(badSizes == 0, s"$badSizes cluster sizes not a multiple of $rep")
+      assert(nLabeled > 0)
+    }
+
     // ANN at ×R: brute top-k scan, then IVF cold (sampled fit +
     // persisted assignment) vs warm (index memoized per dir)
     def timeQuery(name: String): Double = {

@@ -356,11 +356,23 @@ object DedupQueries {
       .select(col("doc_id"), col("simhash").as("sim"))
     // feeds three aggregates below — materialize the pair pipeline once
     val pairs = simHashPairs(docs).localCheckpoint()
+    // Exact-dup pairs join on the (n, h1, h2) signature of the sorted
+    // shingle set, not the set's JSON encoding: equal signatures ⇒
+    // equal sets at 2^-128 collision odds (q37's documented pattern),
+    // and the equi-join exchange ships 24-byte keys instead of
+    // corpus-sized text — at ×8 the string self-join dominated the
+    // contract view's cost.
     val canon = shingled
-      .select(col("doc_id"), to_json(array_sort(col("shingles"))).as("gset"))
+      .select(col("doc_id"), array_sort(col("shingles")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        xxhash64(col("sh")).as("h1"),
+        xxhash64(lit("g2"), col("sh")).as("h2"))
       .localCheckpoint()
-    val exactPairs = canon.toDF("a", "ga")
-      .join(canon.toDF("b", "gb"), col("ga") === col("gb") && col("a") < col("b"))
+    val exactPairs = canon.select(col("doc_id").as("a"),
+        col("n"), col("h1"), col("h2"))
+      .join(canon.select(col("doc_id").as("b"),
+        col("n"), col("h1"), col("h2")), Seq("n", "h1", "h2"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
     val nExact = exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
     val missed = exactPairs.join(pairs, Seq("a", "b"), "left_anti")
