@@ -39,9 +39,19 @@ object AsofJoin {
   /** Latest-right-at-or-before join (left outer): returns left's
     * columns plus right's non-key columns (nullable). Key and time
     * column types must match across sides.
+    *
+    * `toleranceUs`: optional maximum lookback — a match older than
+    * (left time − tolerance) is rejected and the row null-pads, the
+    * standard as-of tolerance (pandas `merge_asof(tolerance=...)`,
+    * QuestDB ASOF ... TOLERANCE). Exact under the merge's
+    * latest-match discipline: the latest at-or-before row is outside
+    * the window iff every at-or-before row is. Units are the time
+    * column's internal units (µs for TIMESTAMP, raw value for LONG);
+    * requires a TIMESTAMP or LONG time column.
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
@@ -73,9 +83,17 @@ object AsofJoin {
             s"right ${r.name}: ${r.dataType.simpleString}")
     sameType("key", attr(lPlan, key), attr(rPlan, key))
     sameType("time", attr(lPlan, leftTime), attr(rPlan, rightTime))
+    toleranceUs.foreach { t =>
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val dt = attr(lPlan, leftTime).dataType
+      require(dt == TimestampType || dt == LongType,
+        s"asof tolerance needs a TIMESTAMP or LONG time column, got " +
+          dt.simpleString)
+      require(t >= 0, s"asof tolerance must be non-negative, got $t")
+    }
     val node = AsofJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceUs)
     GraftSqlBridge.dataFrame(spark, node)
       // drop the duplicated right-side key; right time is the payload
       .drop(GraftSqlBridge.column(attr(rPlan, key)))
@@ -119,7 +137,8 @@ object AsofJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -131,8 +150,8 @@ case class AsofJoinPlan(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -143,6 +162,7 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -189,6 +209,10 @@ case class AsofJoinExec(
 
       var candidate: InternalRow = null
       var candidateKey: InternalRow = null
+      var candidateTime = 0L
+      val timeIdx = keyTypes.length // last field of the (key, time) row
+      val tol = toleranceUs.getOrElse(Long.MaxValue)
+      val checkTol = toleranceUs.isDefined
 
       lIter.map { lRow =>
         val lkt = lKT(lRow)
@@ -204,12 +228,17 @@ case class AsofJoinExec(
           if (!rkt.anyNull) {
             candidate = r.copy()
             candidateKey = rK(candidate).copy()
+            candidateTime = rkt.getLong(timeIdx)
           }
         }
         // A null left key/time matches nothing either — emit the
         // null-padded row, mirroring a left outer join on a null key.
+        // Tolerance is exact on the single latest match: the latest
+        // at-or-before row is outside the lookback window iff every
+        // at-or-before row is (they are all older still).
         val matched = !lkt.anyNull && candidate != null &&
-          keyOrd.compare(candidateKey, lK(lRow)) == 0
+          keyOrd.compare(candidateKey, lK(lRow)) == 0 &&
+          (!checkTol || lkt.getLong(timeIdx) - candidateTime <= tol)
         result(joined(lRow, if (matched) candidate else nullRight))
       }
     }

@@ -12,11 +12,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Extended {
 
   // ---------------------------------------------------------------- q43
-  /** AS-OF JOIN: for each 'purchase' event, the latest 'login' of the
-    * same user at-or-before its timestamp.
+  /** AS-OF JOIN: for each 'purchase' event, the latest 'click' of the
+    * same user at-or-before its timestamp. ('click', not the original
+    * 'login': the testdata generator emits no login events at any SF,
+    * so the login form matched nothing and the driver gate only ever
+    * compared all-null right sides — found in r6; clicks match ~93%
+    * of purchases, so the gate now exercises real matches AND real
+    * null-pads.)
     *
     * Spark-first formulation: instead of a custom physical operator,
-    * union the two tagged streams and take `last(login_ts) IGNORE
+    * union the two tagged streams and take `last(click_ts) IGNORE
     * NULLS` over (user, time) — ONE shuffle on the key, sort within
     * partitions, no join at all. This is the classic scalable as-of
     * shape (an actual range-join would be quadratic in skewed keys).
@@ -25,7 +30,7 @@ object Extended {
     */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val logins = ev.filter(col("event_type") === "login")
+    val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("l_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -33,25 +38,25 @@ object Extended {
       .withColumn("l_ts", lit(null).cast("timestamp"))
       .select(col("user_id"), col("ts"), lit(1).as("is_p"),
         col("event_id"), col("value"), col("l_ts"))
-      .unionAll(logins.select(col("user_id"), col("l_ts").as("ts"),
+      .unionAll(clicks.select(col("user_id"), col("l_ts").as("ts"),
         lit(0).as("is_p"), lit(null).cast("long").as("event_id"),
         lit(null).cast("double").as("value"), col("l_ts")))
-    // order logins before purchases at identical ts (is_p asc) so a
-    // same-instant login is visible to the purchase (ASOF >= matches)
+    // order clicks before purchases at identical ts (is_p asc) so a
+    // same-instant click is visible to the purchase (ASOF >= matches)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("last_login_ts", last(col("l_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("l_ts"), ignoreNulls = true).over(w))
       .filter(col("is_p") === 1)
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("value"), col("last_login_ts"))
+        col("value"), col("last_click_ts"))
       .orderBy("event_id")
   }
 
   private val q43Sql =
-    """SELECT p.event_id, p.user_id, p.ts, p.value, l.ts AS last_login_ts
+    """SELECT p.event_id, p.user_id, p.ts, p.value, l.ts AS last_click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
       |  ON p.user_id = l.user_id AND p.ts >= l.ts
       |ORDER BY p.event_id""".stripMargin
 

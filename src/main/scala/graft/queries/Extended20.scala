@@ -139,20 +139,57 @@ object Extended20 {
     */
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val logins = ev.filter(col("event_type") === "login")
-      .select(col("user_id"), col("ts").as("last_login_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("last_click_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     graft.plans.AsofJoin
-      .asof(purchases, logins, key = "user_id",
-        leftTime = "ts", rightTime = "last_login_ts")
+      .asof(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "last_click_ts")
       .orderBy("event_id")
   }
 
   private val q124Sql =
-    """SELECT p.event_id, p.user_id, p.ts, p.value, l.ts AS last_login_ts
+    """SELECT p.event_id, p.user_id, p.ts, p.value, l.ts AS last_click_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
+      |  ON p.user_id = l.user_id AND p.ts >= l.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q128
+  /** As-of join with a TOLERANCE (maximum lookback): the latest click
+    * at-or-before each purchase counts only if it happened within the
+    * last 24 h — older matches null-pad, the staleness cutoff every
+    * real attribution/enrichment pipeline needs (pandas
+    * `merge_asof(tolerance=...)`). Runs on the custom physical
+    * operator ([[graft.plans.AsofJoinExec]]) whose merge applies the
+    * cutoff to the single buffered candidate — exact, because the
+    * LATEST at-or-before row is outside the window iff every
+    * at-or-before row is. Same plan shape as q124: two exchanges, one
+    * merge pass, no range join. Oracle: DuckDB native ASOF + the same
+    * post-cutoff CASE — with the testdata's ~36 h median click→
+    * purchase gap, the 24 h cutoff nulls roughly half the matches, so
+    * the gate exercises both branches.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("last_click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin
+      .asof(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "last_click_ts",
+        toleranceUs = Some(24L * 3600 * 1000000)) // 24 h in µs
+      .orderBy("event_id")
+  }
+
+  private val q128Sql =
+    """SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       CASE WHEN l.ts >= p.ts - INTERVAL 24 HOUR THEN l.ts
+      |            END AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
       |  ON p.user_id = l.user_id AND p.ts >= l.ts
       |ORDER BY p.event_id""".stripMargin
 
@@ -160,11 +197,13 @@ object Extended20 {
     "q121_sketch_distinct"  -> (q121 _),
     "q122_sketch_quantiles" -> (q122 _),
     "q123_inverted_index"   -> (q123 _),
-    "q124_asof_native"      -> (q124 _))
+    "q124_asof_native"      -> (q124 _),
+    "q128_asof_tolerance"   -> (q128 _))
 
   val oracles: Map[String, String] = Map(
     "q121_sketch_distinct"  -> q121Sql,
     "q122_sketch_quantiles" -> q122Sql,
     "q123_inverted_index"   -> q123Sql,
-    "q124_asof_native"      -> q124Sql)
+    "q124_asof_native"      -> q124Sql,
+    "q128_asof_tolerance"   -> q128Sql)
 }

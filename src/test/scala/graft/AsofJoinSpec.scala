@@ -40,6 +40,46 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(3).isNullAt(1) && out(3).isNullAt(2))
   }
 
+  test("tolerance: stale matches null-pad, fresh matches survive") {
+    val trades = Seq(
+      (1L, 10L, ts(100)), // no quote at-or-before → null either way
+      (2L, 10L, ts(250)), // latest quote 200, 50 s old → inside 100 s
+      (3L, 10L, ts(400))  // latest quote 200, 200 s old → OUTSIDE
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, ts(200), 1.0)).toDF("sym", "qt", "px")
+    val out = AsofJoin.asof(trades, quotes, "sym", "t", "qt",
+        toleranceUs = Some(100L * 1000000))
+      .orderBy("trade_id").select($"trade_id", $"px").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getDouble(1) === 1.0)
+    assert(out(2).isNullAt(1), "stale match must null-pad under tolerance")
+    // without tolerance the stale match survives — the cutoff is the
+    // only difference
+    val noTol = AsofJoin.asof(trades, quotes, "sym", "t", "qt")
+      .orderBy("trade_id").select($"px").collect()
+    assert(noTol(2).getDouble(0) === 1.0)
+  }
+
+  test("q128 tolerance operator ≡ q124 with a post-cutoff on real data") {
+    import org.apache.spark.sql.functions._
+    val native = Extended20.queries("q128_asof_tolerance")(spark, sf)
+    val composed = Extended20.queries("q124_asof_native")(spark, sf)
+      .withColumn("last_click_ts",
+        when(unix_micros(col("ts")) - unix_micros(col("last_click_ts")) <=
+          24L * 3600 * 1000000, col("last_click_ts")))
+    assert(native.columns.toSeq === composed.columns.toSeq)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // both branches exercised: some matches survive, some are nulled
+    val n = native.count()
+    val kept = native.filter(col("last_click_ts").isNotNull).count()
+    val q124kept = Extended20.queries("q124_asof_native")(spark, sf)
+      .filter(col("last_click_ts").isNotNull).count()
+    assert(kept > 0, "tolerance nulled every match — not discriminating")
+    assert(kept < q124kept, "tolerance nulled nothing — not discriminating")
+    assert(n === Extended20.queries("q124_asof_native")(spark, sf).count())
+  }
+
   test("q124 custom operator ≡ q43 composed union+window formulation") {
     val native = Extended20.queries("q124_asof_native")(spark, sf)
     val composed = Extended.queries("q43_asof_join")(spark, sf)
