@@ -331,15 +331,24 @@ object StreamingQueries {
             val horizon = newest - RangeWindowMicros - AllowedDelayMicros
             val keep = next.filter(e => !e._4 || e._2 >= horizon).toList
             val pending = keep.filter(!_._4)
+            // Spark rejects a timeout at-or-before the CURRENT
+            // watermark — a key whose newest event sits far behind the
+            // global maximum (typical when one batch carries the whole
+            // corpus) would otherwise compute exactly that. Clamping
+            // to wm+1 keeps the flush immediate-next-batch for such
+            // stragglers, which is also the earliest legal fire time.
+            val wmMs = state.getCurrentWatermarkMs()
+            def after(ms: Long): Long = math.max(ms, wmMs + 1L)
             if (pending.nonEmpty) {
               state.update(keep)
               // flush as soon as the watermark passes the oldest
               // pending event (ms, +1 so "passed" is strict)
-              state.setTimeoutTimestamp(pending.map(_._2).min / 1000L + 1L)
+              state.setTimeoutTimestamp(
+                after(pending.map(_._2).min / 1000L + 1L))
             } else if (keep.nonEmpty) {
               state.update(keep)
-              state.setTimeoutTimestamp(
-                (newest + RangeWindowMicros + AllowedDelayMicros) / 1000L + 1L)
+              state.setTimeoutTimestamp(after(
+                (newest + RangeWindowMicros + AllowedDelayMicros) / 1000L + 1L))
             } else state.remove()
             results.iterator
           }
@@ -518,10 +527,32 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // --------------------------------------------------------------- q129
+  /** The watermark-HELD emission mode ([[rangeStateTransformHeld]]) as
+    * a GATE-CHECKED query: an event's trailing-window sum emits only
+    * once the watermark proves no admissible arrival can still land
+    * in it, so the DuckDB oracle is exact under ANY arrival order —
+    * q29's oracle relies on event-time-ordered batch arrival (the
+    * documented deviation this mode removes). Events within the 15 s
+    * delay of the stream's maximum event time stay withheld at drain:
+    * correct streaming semantics, mirrored in the oracle by the same
+    * cutoff — including Spark's MILLISECOND watermark truncation
+    * (threshold = (max_event_µs ÷ 1000 − 15000) ms, exactly what
+    * `GroupState.getCurrentWatermarkMs` reports).
+    */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val out = rangeStateTransformHeld(s, eventsStream(s, dir))
+    runToSnapshot(s, out, "q129_sink", OutputMode.Append)
+      .select(col("event_id"), col("province_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("pay_amount"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_stream_session_window" -> (q75 _),
     "q28_stream_tumble"      -> (q28 _),
     "q29_stream_range_state" -> (q29 _),
+    "q129_stream_range_held" -> (q129 _),
     "q47_stream_dedup"       -> (q47 _),
     "q57_stream_stream_join" -> (q57 _),
     "q98_stream_left_join"   -> (q98 _),
@@ -544,6 +575,21 @@ object StreamingQueries {
         |        RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING AND CURRENT ROW)
         |       AS DOUBLE) AS pay_amount
         |FROM events ORDER BY event_id""".stripMargin,
+    // held mode: same window sums, but only events the final watermark
+    // passed are emitted — the cutoff replicates Spark's ms-truncated
+    // watermark ((max_µs ÷ 1000 − 15000) ms) exactly. The window sum
+    // itself still ranges over ALL events: a withheld event is history
+    // for earlier peers even though its own row never emits.
+    "q129_stream_range_held" ->
+      """SELECT event_id, user_id AS province_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |       (PARTITION BY user_id ORDER BY ts
+        |        RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS pay_amount
+        |FROM events
+        |QUALIFY epoch_us(ts) <=
+        |  ((SELECT MAX(epoch_us(ts)) FROM events) // 1000 - 15000) * 1000
+        |ORDER BY event_id""".stripMargin,
     "q47_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
