@@ -168,6 +168,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(immediate(3L) === truth(3L))
   }
 
+  /** Regression (r6): a key whose newest event is far behind the
+    * global watermark used to schedule its retention timeout at a
+    * timestamp the watermark had already passed — Spark rejects that
+    * and kills the query (FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR).
+    * The single-key specs above cannot hit it: it needs one batch
+    * carrying both a straggler key and another key whose events push
+    * the watermark far past the straggler's whole horizon.
+    */
+  test("held emission survives straggler keys far behind the watermark") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_straggler").toFile
+    dir.deleteOnExit()
+    // one batch: key 1's history ends at ts 110; key 2 pushes the
+    // watermark to 99985 — beyond key 1's horizon by ~27 h of margin
+    writeBatchFile(dir, 0, Seq(
+      (1L, 100L, 1L, 1.0), (2L, 110L, 1L, 2.0),
+      (3L, 100000L, 2L, 4.0)))
+    // second batch advances the watermark again so key 1's retention
+    // timeout (clamped past the old watermark) actually fires
+    writeBatchFile(dir, 1, Seq((4L, 200000L, 2L, 8.0)))
+    val src = eventsFileStream(dir)
+    val out = graft.streaming.StreamingQueries.rangeStateTransformHeld(spark, src)
+    val name = s"straggler_sink_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    val rows = spark.table(name).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("pay_amount"))
+      .toMap
+    spark.catalog.dropTempView(name)
+    // all watermark-passed events emitted with exact sums; event 4
+    // (at the final maximum) stays withheld
+    assert(rows === Map(1L -> 1.0, 2L -> 3.0, 3L -> 4.0))
+  }
+
   test("q29 transform recovers exactly-once from checkpoint on RocksDB state store") {
     import java.nio.file.Files
     // The production state path: durable checkpoint + RocksDB state
