@@ -98,6 +98,38 @@ object AsofJoin {
       // drop the duplicated right-side key; right time is the payload
       .drop(GraftSqlBridge.column(attr(rPlan, key)))
   }
+
+  /** EARLIEST-right-at-or-after join (left outer) — the forward
+    * direction (pandas `merge_asof(direction='forward')`): each left
+    * row picks the first right row of the same key with time ≥ its
+    * time; `toleranceUs` bounds the look-AHEAD.
+    *
+    * Implemented exactly on the backward operator by time negation:
+    * the earliest at-or-after match on t is the latest at-or-before
+    * match on −t, and a forward tolerance is the same bound on the
+    * negated axis — so the merge, its null semantics, the plan shape
+    * and the filter-pushdown rule are all inherited unchanged. Times
+    * are negated as `-unix_micros(t)` helper columns (works for
+    * TIMESTAMP; a LONG time column negates directly), dropped from
+    * the output.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def neg(df: DataFrame, t: String, helper: String): DataFrame =
+      df.schema(t).dataType match {
+        case TimestampType => df.withColumn(helper, -unix_micros(col(t)))
+        case LongType      => df.withColumn(helper, -col(t))
+        case dt => throw new IllegalArgumentException(
+          s"asofForward needs a TIMESTAMP or LONG time column, " +
+            s"got $t: ${dt.simpleString}")
+      }
+    asof(neg(left, leftTime, "__l_negt"), neg(right, rightTime, "__r_negt"),
+        key, "__l_negt", "__r_negt", toleranceUs)
+      .drop("__l_negt", "__r_negt")
+  }
 }
 
 /** Optimizer rule: push deterministic left-only filter conjuncts below

@@ -193,17 +193,56 @@ object Extended20 {
       |  ON p.user_id = l.user_id AND p.ts >= l.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // --------------------------------------------------------------- q130
+  /** FORWARD as-of join with a look-AHEAD tolerance: each purchase
+    * picks the user's EARLIEST click at-or-after it, kept only when it
+    * lands within the next 24 h — "did the user come back?", the
+    * mirror of q128's attribution lookback (pandas
+    * `merge_asof(direction='forward', tolerance=...)`). Runs on
+    * [[graft.plans.AsofJoin.asofForward]], which is exact time-negation
+    * sugar over the custom merge operator — same two exchanges, one
+    * merge pass per partition, tolerance applied to the single
+    * buffered candidate. Oracle: DuckDB native ASOF with the
+    * inequality flipped (`p.ts <= l.ts` picks earliest-at-or-after)
+    * plus the same post-cutoff CASE. Median purchase→next-click gap in
+    * the testdata is ~33 h, so the 24 h cutoff nulls roughly 60% of
+    * matches — both branches exercised at the gate.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("next_click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin
+      .asofForward(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "next_click_ts",
+        toleranceUs = Some(24L * 3600 * 1000000)) // 24 h look-ahead in µs
+      .orderBy("event_id")
+  }
+
+  private val q130Sql =
+    """SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       CASE WHEN l.ts <= p.ts + INTERVAL 24 HOUR THEN l.ts
+      |            END AS next_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
+      |  ON p.user_id = l.user_id AND p.ts <= l.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_sketch_distinct"  -> (q121 _),
     "q122_sketch_quantiles" -> (q122 _),
     "q123_inverted_index"   -> (q123 _),
     "q124_asof_native"      -> (q124 _),
-    "q128_asof_tolerance"   -> (q128 _))
+    "q128_asof_tolerance"   -> (q128 _),
+    "q130_asof_forward"     -> (q130 _))
 
   val oracles: Map[String, String] = Map(
     "q121_sketch_distinct"  -> q121Sql,
     "q122_sketch_quantiles" -> q122Sql,
     "q123_inverted_index"   -> q123Sql,
     "q124_asof_native"      -> q124Sql,
-    "q128_asof_tolerance"   -> q128Sql)
+    "q128_asof_tolerance"   -> q128Sql,
+    "q130_asof_forward"     -> q130Sql)
 }

@@ -87,6 +87,78 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
   }
 
+  test("forward direction: earliest at-or-after wins, inclusive, nulls") {
+    val trades = Seq(
+      (1L, 10L, ts(100)), // quotes at 200,300 ahead → earliest (200)
+      (2L, 10L, ts(200)), // exactly at quote ts(200) → inclusive match
+      (3L, 10L, ts(350)), // after every quote → null
+      (4L, 99L, ts(500))  // key with no quotes → null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, ts(200), 1.0),
+      (10L, ts(300), 2.0),
+      (77L, ts(100), 9.0)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsofJoin.asofForward(trades, quotes, "sym", "t", "qt")
+      .orderBy("trade_id")
+      .select($"trade_id", $"qt", $"px")
+      .collect()
+
+    assert(out(0).getTimestamp(1) == ts(200) && out(0).getDouble(2) == 1.0)
+    assert(out(1).getTimestamp(1) == ts(200) && out(1).getDouble(2) == 1.0)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    // helper negation columns must not leak into the output
+    assert(out.head.schema.fieldNames.forall(!_.startsWith("__")))
+  }
+
+  test("forward tolerance bounds the look-AHEAD; long time columns work") {
+    val trades = Seq(
+      (1L, 10L, 100L), // next quote at 150, 50 ahead → inside 100
+      (2L, 10L, 40L),  // next quote at 150, 110 ahead → OUTSIDE
+      (3L, 10L, 400L)  // nothing ahead → null either way
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, 150L, 1.0)).toDF("sym", "qt", "px")
+    val out = AsofJoin.asofForward(trades, quotes, "sym", "t", "qt",
+        toleranceUs = Some(100L))
+      .orderBy("trade_id").select($"trade_id", $"px").collect()
+    assert(out(0).getDouble(1) === 1.0)
+    assert(out(1).isNullAt(1), "too-far-ahead match must null-pad")
+    assert(out(2).isNullAt(1))
+    // without tolerance the far match survives
+    val noTol = AsofJoin.asofForward(trades, quotes, "sym", "t", "qt")
+      .orderBy("trade_id").select($"px").collect()
+    assert(noTol(1).getDouble(0) === 1.0)
+  }
+
+  test("q130 forward operator ≡ window-composed next-click on real data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val native = Extended20.queries("q130_asof_forward")(spark, sf)
+    // independent composed formulation: union events, carry the NEXT
+    // click time backward per user, keep purchases, apply the cutoff
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_click").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val composed = ev
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+      .withColumn("click_ts", when(col("is_click") === 1, col("ts")))
+      .withColumn("nxt", min(col("click_ts")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(unix_micros(col("nxt")) - unix_micros(col("ts")) <=
+          24L * 3600 * 1000000, col("nxt")).as("next_click_ts"))
+    assert(native.columns.toSeq === composed.columns.toSeq)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // both branches exercised on the gate data
+    val kept = native.filter(col("next_click_ts").isNotNull).count()
+    assert(kept > 0 && kept < native.count())
+  }
+
   /** The Rule[LogicalPlan] leg: a deterministic left-only filter above
     * the as-of join must sink below it (pruning before the key
     * exchange); right-side predicates must NOT move (they would change
