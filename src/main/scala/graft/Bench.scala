@@ -37,6 +37,37 @@ object Bench {
     try w.write(sb.result()) finally w.close()
   }
 
+  /** Host CPU accounting from /proc/stat (jiffies, summed over all
+    * CPUs): (busy = user+nice+system+irq+softirq, idle, iowait,
+    * steal). STEAL is the smoking gun for the r2–r6 driver-bench
+    * bimodality candidates: a uniformly ~2× run where per-query JVM
+    * CPU matches a clean run but steal jumped means the HOST took the
+    * cycles — not a plan or code regression. None off-Linux.
+    */
+  private def procStat(): Option[(Long, Long, Long, Long)] =
+    scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val v = f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        (v(0) + v(1) + v(2) + v(5) + v(6), v(3), v(4), v(7))
+      } finally f.close()
+    }.toOption
+
+  /** JVM-wide counters: (process CPU ns, GC ms, JIT compile ms). */
+  private def jvmStat(): (Long, Long, Long) = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val cpu = ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+    val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+    val jit = Option(ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    (cpu, gc, jit)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     new java.io.File(dumpPath).delete() // fresh dump file per run
@@ -69,11 +100,19 @@ object Bench {
         .select(sum(size(col("t")))).collect()
     }
     val errors = scala.collection.mutable.Map[String, String]()
+    val stat0 = procStat()
+    val jvm0 = jvmStat()
+    // Per-query JVM CPU seconds, reported next to wall seconds in the
+    // full JSON: an environment-inflated run (host steal / scheduling)
+    // shows wall ≫ cpu with cpu matching a clean run's; a genuine
+    // regression inflates cpu too.
+    val cpuSec = scala.collection.mutable.Map[String, Double]()
     // toSeq.sortBy: fixed execution order + per-query progress on
     // stderr (stdout stays JSON-only for the driver)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      val c0 = jvmStat()._1
       val t0 = System.nanoTime()
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       val watchdog = new Thread(() => {
@@ -107,6 +146,8 @@ object Bench {
         watchdog.interrupt()
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val c1 = jvmStat()._1
+      if (c0 >= 0 && c1 >= 0) cpuSec(name) = (c1 - c0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
         (if (errors.contains(name)) s"  ERROR ${errors(name)}" else ""))
       spark.catalog.clearCache()
@@ -126,8 +167,26 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val dmp = dumped.toArray.map(d => jstr(d.toString)).sorted
       .mkString("[", ",", "]")
+    // Environment evidence for the suite: host steal/iowait (all-CPU
+    // jiffies → seconds at HZ=100), JVM process CPU, GC and JIT time.
+    // Reading: wall total ≫ proc_cpu-justified with steal_s high ⇒
+    // host contention, not a regression; gc_s or jit_s high ⇒ the JVM
+    // itself, attributable; all low with wall high ⇒ look at iowait.
+    val jvm1 = jvmStat()
+    val env = {
+      val host = (stat0, procStat()) match {
+        case (Some((b0, i0, w0, s0)), Some((b1, i1, w1, s1))) =>
+          f""""host_busy_s":${(b1 - b0) / 100.0}%.1f,"host_idle_s":${(i1 - i0) / 100.0}%.1f,"iowait_s":${(w1 - w0) / 100.0}%.1f,"steal_s":${(s1 - s0) / 100.0}%.1f,"""
+        case _ => ""
+      }
+      val cpu = if (jvm0._1 >= 0 && jvm1._1 >= 0)
+        f""""proc_cpu_s":${(jvm1._1 - jvm0._1) / 1e9}%.1f,""" else ""
+      s"""{$host$cpu"gc_s":${(jvm1._2 - jvm0._2) / 1000.0},"jit_s":${(jvm1._3 - jvm0._3) / 1000.0}}"""
+    }
+    val cpuQs = cpuSec.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"dumped":$dmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuQs,"env":$env,"errors":$errs,"dumped":$dmp,"sf":"$sfDir"}"""
     println(full)
     // The driver records only a tail of stdout and with 127 queries the
     // full line outgrows that window (r03 lost its own total to
@@ -141,7 +200,7 @@ object Bench {
     // Compact summary LAST: everything a tail-window reader needs.
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"dumped":$dmp,"slowest":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"dumped":$dmp,"slowest":$slow,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -130,6 +130,59 @@ object AsofJoin {
         key, "__l_negt", "__r_negt", toleranceUs)
       .drop("__l_negt", "__r_negt")
   }
+
+  /** NEAREST-right join (left outer) — the third `merge_asof`
+    * direction: each left row picks the right row of the same key
+    * minimizing |right time − left time|; equidistant candidates
+    * resolve BACKWARD (the at-or-before row wins, documented and
+    * spec-pinned). `toleranceUs` bounds the distance on BOTH sides.
+    *
+    * Composed from the two native merges — one backward, one forward
+    * (each co-partitioned, O(L+R), single buffered row) — stitched on
+    * `idCol`, a UNIQUE left row id (required: after two independent
+    * merges only an id can realign rows; enforced nowhere cheaper
+    * than the caller's schema, so it is a documented contract like
+    * the key/time dtype match). Right payload columns are packed per
+    * side and the nearer side's values win column-wise; a 100 TB run
+    * pays two merge shuffles plus one id-keyed stitch join, still no
+    * range join and no window state.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, idCol: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros, when}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case TimestampType => unix_micros(c)
+        case LongType      => c
+        case other => throw new IllegalArgumentException(
+          s"asofNearest needs a TIMESTAMP or LONG time column, got " +
+            other.simpleString)
+      }
+    val payload = right.columns.filter(_ != key).toSeq
+    require(!payload.contains(idCol) && !left.columns.contains("__b_" + idCol),
+      s"id column $idCol must come from the left side only")
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      payload.foldLeft(df)((d, c) => d.withColumnRenamed(c, tag + c))
+    val b = tagged(asof(left, right, key, leftTime, rightTime, toleranceUs), "__b_")
+    val f = tagged(
+      asofForward(left, right, key, leftTime, rightTime, toleranceUs), "__f_")
+      .select((idCol +: payload.map("__f_" + _)).map(col): _*)
+    val joined = b.join(f, Seq(idCol))
+    val tDt = left.schema(leftTime).dataType
+    val rDt = right.schema(rightTime).dataType
+    val lt = micros(col(leftTime), tDt)
+    val bt = micros(col("__b_" + rightTime), rDt)
+    val ft = micros(col("__f_" + rightTime), rDt)
+    // backward wins when forward is absent or strictly farther;
+    // null-safe: a null side loses unless both are null
+    val useB = col("__b_" + rightTime).isNotNull &&
+      (col("__f_" + rightTime).isNull || (lt - bt) <= (ft - lt))
+    val picked = payload.map(c =>
+      when(useB, col("__b_" + c)).otherwise(col("__f_" + c)).as(c))
+    joined.select(left.columns.map(col).toSeq ++ picked: _*)
+  }
 }
 
 /** Optimizer rule: push deterministic left-only filter conjuncts below

@@ -230,13 +230,49 @@ object Extended20 {
       |  ON p.user_id = l.user_id AND p.ts <= l.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** NEAREST as-of join — the third `merge_asof` direction: each
+    * purchase picks the click closest in time on EITHER side (ties →
+    * backward, spec-pinned). Composed from the two native merges
+    * (backward + forward, each the co-partitioned O(L+R) operator)
+    * stitched on the unique `event_id`; the right payload is picked
+    * column-wise from the nearer side. Oracle: DuckDB with BOTH native
+    * ASOF directions chained and the same nearer-wins/backward-ties
+    * CASE — a fully independent engine computing the same composition.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("near_click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin
+      .asofNearest(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "near_click_ts", idCol = "event_id")
+      .orderBy("event_id")
+  }
+
+  private val q131Sql =
+    """SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       CASE WHEN b.ts IS NULL THEN f.ts
+      |            WHEN f.ts IS NULL THEN b.ts
+      |            WHEN p.ts - b.ts <= f.ts - p.ts THEN b.ts
+      |            ELSE f.ts END AS near_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON p.user_id = b.user_id AND p.ts >= b.ts
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+      |  ON p.user_id = f.user_id AND p.ts <= f.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_sketch_distinct"  -> (q121 _),
     "q122_sketch_quantiles" -> (q122 _),
     "q123_inverted_index"   -> (q123 _),
     "q124_asof_native"      -> (q124 _),
     "q128_asof_tolerance"   -> (q128 _),
-    "q130_asof_forward"     -> (q130 _))
+    "q130_asof_forward"     -> (q130 _),
+    "q131_asof_nearest"     -> (q131 _))
 
   val oracles: Map[String, String] = Map(
     "q121_sketch_distinct"  -> q121Sql,
@@ -244,5 +280,6 @@ object Extended20 {
     "q123_inverted_index"   -> q123Sql,
     "q124_asof_native"      -> q124Sql,
     "q128_asof_tolerance"   -> q128Sql,
-    "q130_asof_forward"     -> q130Sql)
+    "q130_asof_forward"     -> q130Sql,
+    "q131_asof_nearest"     -> q131Sql)
 }

@@ -132,6 +132,55 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(noTol(1).getDouble(0) === 1.0)
   }
 
+  test("nearest direction: closer side wins, ties go backward, payload follows") {
+    val trades = Seq(
+      (1L, 10L, ts(210)), // behind 200 (d=10), ahead 300 (d=90) → behind
+      (2L, 10L, ts(290)), // behind 200 (d=90), ahead 300 (d=10) → ahead
+      (3L, 10L, ts(250)), // equidistant (50/50) → BACKWARD wins the tie
+      (4L, 10L, ts(100)), // nothing behind → ahead (200)
+      (5L, 10L, ts(400)), // nothing ahead → behind (300)
+      (6L, 99L, ts(500))  // no quotes at all → null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, ts(200), 1.0),
+      (10L, ts(300), 2.0)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsofJoin.asofNearest(trades, quotes, "sym", "t", "qt", "trade_id")
+      .orderBy("trade_id")
+      .select($"trade_id", $"qt", $"px")
+      .collect()
+
+    // payload (px) must come from the SAME row as the picked time
+    assert(out(0).getTimestamp(1) == ts(200) && out(0).getDouble(2) == 1.0)
+    assert(out(1).getTimestamp(1) == ts(300) && out(1).getDouble(2) == 2.0)
+    assert(out(2).getTimestamp(1) == ts(200) && out(2).getDouble(2) == 1.0,
+      "equidistant match must resolve backward")
+    assert(out(3).getTimestamp(1) == ts(200) && out(3).getDouble(2) == 1.0)
+    assert(out(4).getTimestamp(1) == ts(300) && out(4).getDouble(2) == 2.0)
+    assert(out(5).isNullAt(1) && out(5).isNullAt(2))
+    assert(out.head.schema.fieldNames.forall(!_.startsWith("__")))
+  }
+
+  test("nearest tolerance bounds the distance on both sides") {
+    val trades = Seq(
+      (1L, 10L, 140L), // behind 100 (d=40), ahead 300 (d=160); tol 50 → behind
+      (2L, 10L, 260L), // behind 100 (d=160), ahead 300 (d=40); tol 50 → ahead
+      (3L, 10L, 200L)  // both 100 away; tol 50 → null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, 100L, 1.0), (10L, 300L, 2.0)).toDF("sym", "qt", "px")
+    val out = AsofJoin.asofNearest(trades, quotes, "sym", "t", "qt", "trade_id",
+        toleranceUs = Some(50L))
+      .orderBy("trade_id").select($"trade_id", $"px").collect()
+    assert(out(0).getDouble(1) === 1.0)
+    assert(out(1).getDouble(1) === 2.0)
+    assert(out(2).isNullAt(1), "both sides out of tolerance must null-pad")
+    // without tolerance the tie resolves backward instead
+    val noTol = AsofJoin.asofNearest(trades, quotes, "sym", "t", "qt", "trade_id")
+      .orderBy("trade_id").select($"px").collect()
+    assert(noTol(2).getDouble(0) === 1.0)
+  }
+
   test("q130 forward operator ≡ window-composed next-click on real data") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
