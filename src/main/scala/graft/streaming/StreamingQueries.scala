@@ -503,6 +503,57 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- q132
+  /** Stream TEMPORAL join (Flink's temporal-table join re-expressed):
+    * each streamed purchase is enriched with the user's latest click
+    * at-or-before ITS event time — the as-of join's streaming leg.
+    * Spark-first design: instead of keeping the dimension's history in
+    * managed join state (Flink's formulation), the static side
+    * collapses once per micro-batch into one sorted time-array per
+    * key, broadcasts, and the at-or-before lookup is a pure
+    * `array_max(filter(...))` projection — a STATELESS plan (no
+    * watermark, no state store; append mode), so nothing accumulates
+    * across batches and the stream side never shuffles. Scale: state
+    * cost is zero; the broadcast is bounded by versions-per-key ×
+    * keys (the common dimension shape); a dimension too big to
+    * broadcast downgrades to the same HOF over a shuffled equi-join.
+    * Oracle: q124's batch SQL — DuckDB's native ASOF over the drained
+    * stream must agree row-for-row.
+    */
+  /** The reusable transform behind q132: enrich `stream` with the
+    * latest `history` time at-or-before each row's `streamTime`, per
+    * `key`. Works on a streaming OR batch left side (the right side
+    * must be batch — it is collapsed and broadcast). Sorted array ⇒
+    * latest at-or-before = `array_max` of the filtered prefix;
+    * empty/missing history ⇒ null (never throws, unlike `element_at`
+    * under ANSI).
+    */
+  def temporalEnrich(stream: DataFrame, history: DataFrame, key: String,
+      streamTime: String, histTime: String, outCol: String): DataFrame = {
+    val hist = history.groupBy(key)
+      .agg(sort_array(collect_list(col(histTime))).as("__hist"))
+    stream.join(broadcast(hist), Seq(key), "left")
+      .withColumn(outCol,
+        array_max(filter(col("__hist"), c => c <= col(streamTime))))
+      .drop("__hist")
+  }
+
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val enriched = temporalEnrich(purchases, clicks,
+        key = "user_id", streamTime = "ts", histTime = "ts",
+        outCol = "last_click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("last_click_ts"))
+    runToSnapshot(s, enriched, "q132_sink", OutputMode.Append)
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- q75
   /** Native session windows on a stream: per-user sessions closed by a
     * 30-minute inactivity gap — the dynamic-gap session window
@@ -557,7 +608,8 @@ object StreamingQueries {
     "q57_stream_stream_join" -> (q57 _),
     "q98_stream_left_join"   -> (q98 _),
     "q125_stream_full_join"  -> (q125 _),
-    "q108_stream_static_join" -> (q108 _))
+    "q108_stream_static_join" -> (q108 _),
+    "q132_stream_temporal_join" -> (q132 _))
 
   /** Streaming results are asserted identical to their batch forms, so
     * they reuse the batch oracle SQL (q27 / q20 / join shapes).
@@ -647,6 +699,13 @@ object StreamingQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    // temporal join drains to exactly the batch as-of result
+    "q132_stream_temporal_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, l.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q75_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

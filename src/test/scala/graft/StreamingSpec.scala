@@ -624,6 +624,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.subsetOf(Set(1L, 3L, 5L)))
   }
 
+  test("q132 stream temporal join == batch as-of; plan keeps ZERO state") {
+    // drained stream must equal the custom batch as-of operator
+    val stream = rowsOf("q132_stream_temporal_join")
+    val batch = SparkEntry.queries("q124_asof_native")(spark, sf)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+
+    // statelessness: the temporal enrichment is a broadcast join +
+    // projection per micro-batch — a multi-batch run must report NO
+    // stateful operators (this is the design point vs Flink's
+    // managed-state temporal join)
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_temporal_stream")
+    dir.toFile.deleteOnExit()
+    Seq(Seq("""{"id": 1, "k": 10, "t": 100}""", """{"id": 2, "k": 10, "t": 250}"""),
+        Seq("""{"id": 3, "k": 10, "t": 50}""", """{"id": 4, "k": 99, "t": 500}"""))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        val f = Paths.get(dir.toString, f"ev$i%02d.jsonl")
+        Files.write(f, chunk.mkString("", "\n", "\n").getBytes,
+          StandardOpenOption.CREATE)
+        f.toFile.setLastModified(1000000L * (i + 1))
+      }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, k LONG, t LONG")
+    val hist = Seq((10L, 90L), (10L, 200L), (77L, 1L)).toDF("k", "ht")
+    val enriched = graft.streaming.StreamingQueries.temporalEnrich(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(dir.toString),
+      hist, key = "k", streamTime = "t", histTime = "ht", outCol = "last_ht")
+    val name = s"temporal_sink_${System.nanoTime()}"
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected a multi-batch run")
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "temporal join must not allocate streaming state")
+    } finally { q.stop(); q.awaitTermination() }
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("last_ht"))) -1L
+         else r.getLong(r.fieldIndex("last_ht")))).toMap
+    spark.catalog.dropTempView(name)
+    // 1: t=100 → 90; 2: t=250 → 200; 3: t=50 → none; 4: key unknown
+    assert(got === Map(1L -> 90L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("reference payment pipeline end-to-end: JSONL file stream == batch") {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     // The reference's whole surface in one run: JSON-lines wire format
