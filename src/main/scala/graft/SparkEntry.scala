@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.Extended19.queries ++
       graft.queries.Extended20.queries ++
       graft.queries.Extended21.queries ++
+      graft.queries.Extended22.queries ++
       graft.queries.IvfAnn.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.Extended19.oracles ++
       graft.queries.Extended20.oracles ++
       graft.queries.Extended21.oracles ++
+      graft.queries.Extended22.oracles ++
       graft.streaming.StreamingQueries.oracles
 }
