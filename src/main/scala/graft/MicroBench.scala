@@ -278,6 +278,51 @@ object MicroBench {
       li.unpersist()
     }
 
+    // ---- pagerank iteration layout: flat edges vs adjacency --------
+    // Same recurrence, same cached inputs; the flat layout re-reads E
+    // edge rows per round (probe join + cache scan), the adjacency
+    // layout reads N array rows and explodes row-locally. Both end in
+    // the identical dst-keyed partial-sum shuffle.
+    locally {
+      val edges = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .select(explode(col("parts")).as("src"), col("parts"))
+        .select(col("src"), explode(col("parts")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(32).persist()
+      val nE = edges.count()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val flat = edges.join(deg, "src").repartition(32).persist()
+      flat.count()
+      val adj = edges.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("d"))
+        .repartition(32).persist()
+      val n = adj.count()
+      val r0 = 1000000000000L / n
+      val seed = adj.select(col("src").as("node"), lit(r0).as("r"))
+      def round(prev: DataFrame, probe: DataFrame, exploded: Boolean) = {
+        val joined = probe.join(broadcast(prev), probe("src") === prev("node"))
+        val contribs =
+          if (exploded) joined.select(col("dst"), expr("r DIV d").as("c"))
+          else joined.select(explode(col("dsts")).as("dst"), expr("r DIV d").as("c"))
+        contribs.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+          .select(col("dst").as("node"), expr("(85 * m) DIV 100").as("r"))
+          .localCheckpoint()
+      }
+      bench("pagerank 5 iters", "adjacency arrays (N rows)", nE) {
+        var r = seed
+        (1 to 5).foreach(_ => r = round(r, adj, exploded = false))
+        r.select(sum(col("r"))).collect()
+      }
+      bench("pagerank 5 iters", "flat edge rows (E rows)", nE) {
+        var r = seed
+        (1 to 5).foreach(_ => r = round(r, flat, exploded = true))
+        r.select(sum(col("r"))).collect()
+      }
+      edges.unpersist(); flat.unpersist(); adj.unpersist()
+    }
+
     // ---- report ----------------------------------------------------
     val sb = new StringBuilder
     sb.append("# Kernel microbenchmarks (generated by graft.MicroBench)\n\n")

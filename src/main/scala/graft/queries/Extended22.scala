@@ -36,11 +36,16 @@ object Extended22 {
     * table (broadcast while it fits, sort-merge co-partitioned
     * beyond), a row-local explode, and ONE `dst`-keyed shuffle with
     * map-side partial sums. Measured vs the flat edge layout at
-    * sf0.1 (2.4M edges): iterations 2.5 s vs 4.5 s and one whole
-    * cached-join stage gone. Head-node arrays are the q123
-    * posting-list skew surface — a node whose neighbour list outgrows
-    * a task falls back to the flat layout (same recurrence, only the
-    * storage differs). Lineage stays at `iters` depth via an eager
+    * sf0.1 (2.4M edges, MICRO.md): per-round cost is EQUAL once both
+    * are cached and balanced — the end-to-end win (9.2 → 5.6 s
+    * in-suite) is that the flat layout needs a separate degree-join
+    * build + 2.4M-row cache whose src-hash output partitioning
+    * inherits co-occurrence skew (straggler per round unless
+    * rebalanced), while the adjacency build IS the degree
+    * aggregation. Head-node arrays are the q123 posting-list skew
+    * surface — a node whose neighbour list outgrows a task falls
+    * back to the flat layout (same recurrence, only the storage
+    * differs). Lineage stays at `iters` depth via an eager
     * per-round `localCheckpoint` of the tiny rank table — without the
     * cut, round i's broadcast re-executes rounds 1..i-1 (measured
     * O(iters²) passes).
