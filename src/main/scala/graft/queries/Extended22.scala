@@ -124,9 +124,74 @@ object Extended22 {
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- q134
+  /** Binned band-join core: all pairs with |valᵃ − valᵇ| ≤ eps from a
+    * (key, value) table, as a pure EQUI-join — the scale path q93's
+    * doc promised for band joins where BOTH sides are large (q93
+    * broadcasts its tiny interval table; with two big sides that and
+    * the nested-loop fallback are non-starters). Buckets are
+    * `value DIV (2·eps)`; the probe side explodes into its own and
+    * both neighbour buckets. Width 2ε ⇒ any qualifying pair is at
+    * most one bucket apart, and since the build side sits in exactly
+    * ONE bucket each pair is found exactly once — no post-dedup
+    * (spec-pinned). Work is one bucket-keyed shuffle + a refine
+    * filter: output-bounded at any scale, no cartesian anywhere.
+    * Values must be non-negative integers (quantize first — exact,
+    * no float-boundary ambiguity).
+    */
+  def bandPairsBinned(items: DataFrame, keyCol: String, valCol: String,
+      eps: Long): DataFrame = {
+    require(eps > 0, s"band eps must be positive, got $eps")
+    val width = 2 * eps
+    val base = items.select(col(keyCol).as("k"), col(valCol).as("v"))
+    val probe = base
+      .withColumn("bb", expr(s"v DIV $width"))
+      .select(col("k"), col("v"),
+        explode(array(col("bb") - 1, col("bb"), col("bb") + 1)).as("b"))
+    val build = base
+      .select(col("k").as("k2"), col("v").as("v2"),
+        expr(s"v DIV $width").as("b"))
+    probe.join(build,
+        probe("b") === build("b") && probe("k") < build("k2") &&
+          abs(probe("v") - build("v2")) <= eps)
+      .select(col("k").as("a_key"), col("k2").as("b_key"),
+        col("v").as("a_val"), col("v2").as("b_val"))
+  }
+
+  /** Price-proximity order pairs: |Δ total price| ≤ $2.00 across the
+    * whole orders table — no equi key anywhere, both sides the same
+    * large table. Prices quantize to integer cents (exact in both
+    * engines). Oracle: DuckDB's own inequality join (IEJoin-friendly
+    * BETWEEN form) — an INDEPENDENT evaluation of the band predicate,
+    * so a bucketing bug (missed boundary pair) hash-mismatches. The
+    * sf0.001 data already exercises cross-bucket pairs (2 of its 9).
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    bandPairsBinned(o, "k", "cents", eps = 200L)
+      .select(col("a_key"), col("b_key"),
+        (col("a_val") / 100.0).as("a_price"),
+        (col("b_val") / 100.0).as("b_price"))
+      .orderBy("a_key", "b_key")
+  }
+
+  private val q134Sql =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      |           FROM orders)
+      |SELECT a.k AS a_key, b.k AS b_key,
+      |       a.c / 100.0 AS a_price, b.c / 100.0 AS b_price
+      |FROM o a JOIN o b
+      |  ON b.c >= a.c - 200 AND b.c <= a.c + 200 AND a.k < b.k
+      |ORDER BY a_key, b_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q133_pagerank" -> (q133 _))
+    "q133_pagerank" -> (q133 _),
+    "q134_binned_band_join" -> (q134 _))
 
   val oracles: Map[String, String] = Map(
-    "q133_pagerank" -> q133Sql)
+    "q133_pagerank" -> q133Sql,
+    "q134_binned_band_join" -> q134Sql)
 }
