@@ -52,4 +52,49 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Morton (Z-order) interleave of two normalized integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure
+    * shift/and/or expression tree (2·bits terms) — whole-stage
+    * codegen'd, no UDF. Inputs must already be in [0, 2^bits).
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-ORDERED parquet layout (the lakehouse OPTIMIZE ZORDER shape):
+    * rows are range-partitioned by the Morton interleave of two
+    * min/max-normalized columns, so every output file covers a
+    * COMPACT range of BOTH — per-file min/max footers then prune
+    * scans filtered on either column (or both), which a single-column
+    * sort only gives for its leading column. This is the multi-column
+    * file-skipping layout for 100 TB fact tables; min/max
+    * normalization keeps the demo self-contained (skewed columns
+    * would use quantile ranks instead — same interleave).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val top = (1L << bits) - 1
+    val mm = df.agg(
+      min(col(colA)).as("la"), max(col(colA)).as("ha"),
+      min(col(colB)).as("lb"), max(col(colB)).as("hb"))
+    def norm(c: String, lo: String, hi: String) =
+      least(lit(top), floor(
+        (col(c) - col(lo)).cast("double") /
+          greatest(lit(1.0), (col(hi) - col(lo)).cast("double")) * top)
+        .cast("long"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__z", zValue(norm(colA, "la", "ha"), norm(colB, "lb", "hb"), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "la", "ha", "lb", "hb")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -67,4 +67,53 @@ class SourcesSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("zValue interleaves bits exactly (Morton order)") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+        (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Sources.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(a: Long, b: Long) = (0 until 16).foldLeft(0L)((z, i) =>
+      z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    assert(got === Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L)).map((ref _).tupled))
+    // spot values: (1,0)=1, (0,1)=2, (1,1)=3, full-a = 0x55555555
+    assert(got(1) === 1L && got(2) === 2L && got(3) === 3L)
+    assert(got(5) === 0x55555555L && got(6) === 0xAAAAAAAAL)
+  }
+
+  /** The layout claim itself: per-file min/max spans are compact in
+    * BOTH z-ordered dimensions, while a single-column sort leaves its
+    * trailing column's span at ~full range (no pruning for it).
+    */
+  test("z-ordered files are compact in both dims; sorted files in one") {
+    import spark.implicits._
+    // two independent uniform dims — the worst case for 1-D sorting
+    val rnd = new scala.util.Random(1234)
+    val rows = (1 to 40000).map(_ =>
+      (rnd.nextInt(1000000).toLong, rnd.nextInt(1000000).toLong))
+    val df = rows.toDF("x", "y")
+    val files = 16
+    def spans(path: String): (Double, Double) = {
+      val f = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).collect()(0)
+      (f.getDouble(0) / 1000000.0, f.getDouble(1) / 1000000.0)
+    }
+    Sources.writeZOrdered(df, s"$tmp/z_layout", "x", "y", files)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$tmp/x_sorted")
+    val (zx, zy) = spans(s"$tmp/z_layout")
+    val (sx, sy) = spans(s"$tmp/x_sorted")
+    // 16 files on a z-curve ⇒ each covers ~1/4 of each axis
+    assert(zx < 0.45 && zy < 0.45,
+      f"z-order spans not compact: x=$zx%.2f y=$zy%.2f")
+    assert(sx < 0.15, f"x-sort should be tight on x, got $sx%.2f")
+    assert(sy > 0.8, f"x-sort should leave y un-pruned, got $sy%.2f")
+    assert(spark.read.parquet(s"$tmp/z_layout").count() === 40000)
+  }
 }
