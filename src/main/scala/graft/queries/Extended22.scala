@@ -187,11 +187,82 @@ object Extended22 {
       |  ON b.c >= a.c - 200 AND b.c <= a.c + 200 AND a.k < b.k
       |ORDER BY a_key, b_key""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** CDC MERGE apply (Delta/Iceberg `MERGE INTO` re-expressed on plain
+    * DataFrames): a changelog of typed ops — U(pdate), D(elete),
+    * I(nsert) — applied to a base table in ONE full-outer join pass:
+    * deletes drop, updates/inserts take the changelog's values,
+    * untouched keys keep the base row. At 100 TB both sides shuffle
+    * once on the merge key (or zero times if the base is bucketed on
+    * it — `Sources.writeBucketed`); nothing is quadratic and no
+    * driver-side diffing happens. The changelog here derives
+    * DETERMINISTICALLY from the base (keys ≡ 3 mod 10 → U at +100.00,
+    * keys ≡ 7 mod 10 → D, fresh keys beyond max → I), so an
+    * independent engine reproduces byte-identical input without
+    * shipping a second table.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("price"),
+        col("o_orderstatus").as("status"))
+    val changes = base
+      .filter(col("k") % 10 === 3 || col("k") % 10 === 7)
+      .select(col("k"),
+        when(col("k") % 10 === 3, lit("U")).otherwise(lit("D")).as("op"),
+        (col("price") + 100).as("new_price"),
+        lit("P").as("new_status"))
+      .unionByName(
+        base.agg(max(col("k")).as("mx")).select(
+          explode(sequence(col("mx") + 1, col("mx") + 5)).as("k"),
+          lit("I").as("op"),
+          lit(java.math.BigDecimal.valueOf(123456, 2)).cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)).as("new_price"),
+          lit("N").as("new_status")))
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(col("price")).cast("double").as("price"),
+        when(col("op").isin("U", "I"), col("new_status"))
+          .otherwise(col("status")).as("status"))
+      .orderBy("k")
+  }
+
+  private val q135Sql =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |                     CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |                     o_orderstatus AS status
+      |              FROM orders),
+      |changes AS (
+      |  SELECT k, CASE WHEN k % 10 = 3 THEN 'U' ELSE 'D' END AS op,
+      |         price + 100 AS new_price, 'P' AS new_status
+      |  FROM base WHERE k % 10 = 3 OR k % 10 = 7
+      |  UNION ALL
+      |  SELECT (SELECT MAX(k) FROM base) + i AS k, 'I' AS op,
+      |         CAST(1234.56 AS DECIMAL(18,2)) AS new_price, 'N' AS new_status
+      |  FROM range(1, 6) t(i)),
+      |merged AS (
+      |  SELECT COALESCE(b.k, c.k) AS k, b.price, b.status,
+      |         c.op, c.new_price, c.new_status
+      |  FROM base b FULL JOIN changes c ON b.k = c.k)
+      |SELECT k,
+      |       CAST(CASE WHEN op IN ('U','I') THEN new_price
+      |                 ELSE price END AS DOUBLE) AS price,
+      |       CASE WHEN op IN ('U','I') THEN new_status
+      |            ELSE status END AS status
+      |FROM merged
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_pagerank" -> (q133 _),
-    "q134_binned_band_join" -> (q134 _))
+    "q134_binned_band_join" -> (q134 _),
+    "q135_cdc_merge" -> (q135 _))
 
   val oracles: Map[String, String] = Map(
     "q133_pagerank" -> q133Sql,
-    "q134_binned_band_join" -> q134Sql)
+    "q134_binned_band_join" -> q134Sql,
+    "q135_cdc_merge" -> q135Sql)
 }
