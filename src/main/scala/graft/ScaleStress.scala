@@ -147,6 +147,25 @@ object ScaleStress {
       assert(nLabeled > 0)
     }
 
+    // q133 at ×R: l_partkey is a dim key (NOT offset by replication),
+    // so the ×R co-purchase edge set must DEDUP to exactly the base
+    // dir's — same nodes, same degrees, same N — and the 5-round
+    // integer ranks must come out bit-identical. An end-to-end check
+    // that the distinct → degree → fixpoint pipeline collapses an
+    // 8×-duplicated pair stream without drift.
+    locally {
+      val (x8, secs) = timed {
+        SparkEntry.queries("q133_pagerank")(spark, outDir)
+          .collect().map(_.toSeq).toSeq
+      }
+      val base = SparkEntry.queries("q133_pagerank")(spark, srcDir)
+        .collect().map(_.toSeq).toSeq
+      println(f"[stress] q133 ×$rep: top-${x8.size} ranks in $secs%.1f s; " +
+        s"replica-invariance ${if (x8 == base) "EXACT" else "BROKEN"}")
+      assert(x8 == base,
+        "×R pagerank diverged from base — dedup or degree drift")
+    }
+
     // ANN at ×R: brute top-k scan, then IVF cold (sampled fit +
     // persisted assignment) vs warm (index memoized per dir)
     def timeQuery(name: String): Double = {
