@@ -31,9 +31,10 @@ object ScaleStress {
   /** Replicate `srcDir` into `outDir` with per-replica id offsets.
     * Dims copy as-is (dims stay dims — broadcast plans unchanged);
     * fact/corpus tables offset their id column so ids stay unique.
-    * `events` keeps its raw int64-nanos `ts` and lands as a single
-    * file (the streaming source's pathGlobFilter matches the file
-    * name `events.parquet`).
+    * `events` keeps its stored `ts` layout (int64-nanos or µs
+    * timestamp, whichever the generator shipped — the loaders probe)
+    * and lands as a single file (the streaming source's
+    * pathGlobFilter matches the file name `events.parquet`).
     */
   def buildDir(spark: SparkSession, srcDir: String, outDir: String,
       rep: Int): Unit = {

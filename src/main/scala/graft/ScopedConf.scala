@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Temporarily override session confs around an EAGERLY-executed block.
+  *
+  * The iterative graph loops (connected components, PageRank) launch
+  * dozens of small jobs over KB–MB-sized label/rank tables. Per-job
+  * fixed costs dominate there — plan/codegen text construction and
+  * freshly compiled codegen classes per round were measured as the
+  * r2–r6 driver-bench spike (BENCH_r06: q102 315 CPU-s, q133 397 CPU-s
+  * vs 5–6 s for the same code warm; the watchdog dump caught the driver
+  * in codegen-string machinery, executors idle). Whole-stage codegen
+  * and AQE's replan loop buy nothing on tiny per-round plans, so the
+  * loops scope them OFF — in a try/finally so the caller's session
+  * (where both earn their keep on real scans) is untouched.
+  *
+  * Only valid around code whose Spark actions all run INSIDE `body`
+  * (the loops checkpoint eagerly each round); a lazily returned plan
+  * would be planned after restore, outside the scope.
+  */
+object ScopedConf {
+  def withConf[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The iterative-loop profile: no whole-stage codegen, no adaptive
+    * replanning — per-round plans compile to nothing and run as-is.
+    */
+  def forTinyLoop[T](s: SparkSession)(body: => T): T =
+    withConf(s,
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.adaptive.enabled" -> "false")(body)
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -18,18 +18,27 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (pandas ns). Spark has no
-    * nanosecond timestamp: read the raw int64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same
-    * file, so oracle comparisons see identical instants.
+  /** `events.ts` normalization — the stored layout has CHANGED across
+    * driver rounds, so the loader probes and adapts instead of
+    * assuming:
+    *  - TIMESTAMP(NANOS) (pandas ns, rounds 1-6): Spark has no ns
+    *    timestamp — read the raw int64
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    *    microseconds, exactly what DuckDB does on the same file;
+    *  - timestamp[us] WITHOUT timezone (round 7+): Spark infers
+    *    TIMESTAMP_NTZ, which watermarks and `unix_micros` reject —
+    *    cast to TIMESTAMP. The session timezone is UTC everywhere in
+    *    this engine, so the NTZ wall time IS the UTC instant, matching
+    *    DuckDB's naive read of the same column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => raw // future Spark with native nanos support
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
   }
 

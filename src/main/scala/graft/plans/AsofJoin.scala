@@ -163,6 +163,20 @@ object AsofJoin {
     val payload = right.columns.filter(_ != key).toSeq
     require(!payload.contains(idCol) && !left.columns.contains("__b_" + idCol),
       s"id column $idCol must come from the left side only")
+    // withColumnRenamed renames EVERY column with a matching name: a
+    // right payload column sharing a name with any left column would
+    // get the left twin renamed too (corrupting the final select), so
+    // name-disjointness is part of the contract — same for columns
+    // that already carry the internal __b_/__f_ prefixes.
+    val clash = payload.intersect(left.columns.toSeq)
+    require(clash.isEmpty,
+      s"asofNearest: right payload column(s) ${clash.mkString(", ")} " +
+        "collide with left columns — rename one side before joining")
+    val prefClash = payload.flatMap(c => Seq("__b_" + c, "__f_" + c))
+      .intersect(left.columns.toSeq)
+    require(prefClash.isEmpty,
+      s"asofNearest: left column(s) ${prefClash.mkString(", ")} collide " +
+        "with the internal __b_/__f_ payload prefixes")
     def tagged(df: DataFrame, tag: String): DataFrame =
       payload.foldLeft(df)((d, c) => d.withColumnRenamed(c, tag + c))
     val b = tagged(asof(left, right, key, leftTime, rightTime, toleranceUs), "__b_")

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import graft.ScopedConf
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected pair graph
@@ -31,32 +32,60 @@ import org.apache.spark.sql.functions._
   * Both iterate with per-round `localCheckpoint` so round k+1 reads
   * round k's materialized output, not the whole lineage (same shape
   * as the q102 loop since round 3; required for any iterative plan).
+  *
+  * Round-7 loop hygiene (the BENCH_r06 finding — dozens of per-round
+  * jobs over KB of data paid seconds of fixed driver/codegen cost):
+  *  - ONE action per round. The convergence check rides the round's
+  *    own checkpoint job as an `observe` metric (previous label
+  *    carried through the aggregation) instead of a separate
+  *    join+count action; largeSmallStar's fixpoint signature rides
+  *    the same way.
+  *  - The loops run with whole-stage codegen and AQE scoped off
+  *    ([[graft.ScopedConf.forTinyLoop]]) — tiny per-round plans spend
+  *    more compiling than running.
   */
 object ConnectedComponents {
 
   /** Min-label propagation. Returns (labels, converged, rounds);
     * `labels` is only the true component labeling when `converged`.
+    *
+    * Each round: neighbors' labels union the node's own, min per id.
+    * The node's previous label is carried through the aggregation
+    * (`max(prev)` — exactly one non-null per id), so "did anything
+    * change" is a sum over the SAME job via `observe`, not a second
+    * action re-joining the old labels.
     */
   def minLabel(pairs: DataFrame, maxRounds: Int = 25)
       : (DataFrame, Boolean, Int) = {
-    val nbr = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
-    var labels = nbr.select(col("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = nbr
-        .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
-        .select(col("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl")).union(prop)
-        .groupBy("id").agg(min(col("lbl")).as("lbl")).localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
-      rounds += 1
+    ScopedConf.forTinyLoop(pairs.sparkSession) {
+      val nbr = pairs.select(col("a"), col("b"))
+        .union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
+        .localCheckpoint()
+      var labels = nbr.select(col("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      val lblType = labels.schema("lbl").dataType
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        val obs = Observation()
+        val prop = nbr
+          .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
+          .select(col("id"), col("lbl"), lit(null).cast(lblType).as("prev"))
+        val next = labels
+          .select(col("id"), col("lbl"), col("lbl").as("prev"))
+          .union(prop)
+          .groupBy("id")
+          .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
+          .observe(obs, coalesce(sum(when(col("lbl") =!= col("prev"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed"))
+          .select(col("id"), col("lbl"))
+          .localCheckpoint()
+        changed = obs.get("changed").asInstanceOf[Long]
+        labels = next
+        rounds += 1
+      }
+      (labels, changed == 0L, rounds)
     }
-    (labels, changed == 0L, rounds)
   }
 
   /** Large-star/small-star to a star-forest fixpoint.
@@ -76,67 +105,72 @@ object ConnectedComponents {
     * collected).
     */
   def largeSmallStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
-    // canonical undirected edges, self-loops dropped
-    var edges = pairs
-      .select(least(col("a"), col("b")).as("s"),
-        greatest(col("a"), col("b")).as("l"))
-      .filter(col("s") =!= col("l"))
-      .select(col("s").as("a"), col("l").as("b"))
-      .distinct().localCheckpoint()
+    ScopedConf.forTinyLoop(pairs.sparkSession) {
+      // Fixpoint signature, computed as observe metrics ON the round's
+      // checkpoint job (no separate collect). XOR-fold, not SUM: ANSI
+      // mode makes a long SUM of 2^63-range hashes throw on overflow;
+      // XOR is order-independent and overflow-free, and the edge set is
+      // distinct so multiplicity cannot cancel.
+      def checkpointed(e: DataFrame): (DataFrame, (Long, Long)) = {
+        val obs = Observation()
+        val out = e.observe(obs, count(lit(1)).as("cnt"),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("sig"))
+          .localCheckpoint()
+        (out, (obs.get("cnt").asInstanceOf[Long],
+          obs.get("sig").asInstanceOf[Long]))
+      }
 
-    def signature(e: DataFrame): (Long, Long) = {
-      // XOR-fold, not SUM: ANSI mode makes a long SUM of 2^63-range
-      // hashes throw on overflow; XOR is order-independent and
-      // overflow-free, and the edge set is distinct so multiplicity
-      // cannot cancel.
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(least(col("v"), col("m")).as("a"),
-          greatest(col("v"), col("m")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-    }
-
-    def smallStar(e: DataFrame): DataFrame = {
-      // orient child > parent: u is the larger endpoint
-      val oriented = e.select(col("b").as("u"), col("a").as("v"))
-      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
-      val hooked = oriented.join(mins, "u")
-      hooked.filter(col("v") =!= col("m"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .union(hooked.select(col("m").as("a"), col("u").as("b")).distinct())
+      // canonical undirected edges, self-loops dropped
+      var (edges, sig) = checkpointed(pairs
         .select(least(col("a"), col("b")).as("s"),
           greatest(col("a"), col("b")).as("l"))
         .filter(col("s") =!= col("l"))
-        .select(col("s").as("a"), col("l").as("b")).distinct()
-    }
+        .select(col("s").as("a"), col("l").as("b"))
+        .distinct())
 
-    var sig = signature(edges)
-    var rounds = 0
-    var fixed = false
-    while (!fixed && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextSig = signature(next)
-      fixed = nextSig == sig
-      sig = nextSig
-      edges = next
-      rounds += 1
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.select(col("a").as("u"), col("b").as("v"))
+          .union(e.select(col("b").as("u"), col("a").as("v")))
+        val mins = sym.groupBy("u")
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        sym.join(mins, "u").filter(col("v") > col("u"))
+          .select(least(col("v"), col("m")).as("a"),
+            greatest(col("v"), col("m")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+      }
+
+      def smallStar(e: DataFrame): DataFrame = {
+        // orient child > parent: u is the larger endpoint
+        val oriented = e.select(col("b").as("u"), col("a").as("v"))
+        val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+        val hooked = oriented.join(mins, "u")
+        hooked.filter(col("v") =!= col("m"))
+          .select(col("m").as("a"), col("v").as("b"))
+          .union(hooked.select(col("m").as("a"), col("u").as("b")).distinct())
+          .select(least(col("a"), col("b")).as("s"),
+            greatest(col("a"), col("b")).as("l"))
+          .filter(col("s") =!= col("l"))
+          .select(col("s").as("a"), col("l").as("b")).distinct()
+      }
+
+      var rounds = 0
+      var fixed = false
+      while (!fixed && rounds < maxRounds) {
+        val (next, nextSig) = checkpointed(smallStar(largeStar(edges)))
+        fixed = nextSig == sig
+        sig = nextSig
+        edges = next
+        rounds += 1
+      }
+      assert(fixed, s"large-star/small-star did not converge in $maxRounds rounds")
+      // star forest: every child appears once with its component min;
+      // roots (= the minima) label themselves
+      edges.select(col("b").as("id"), col("a").as("lbl"))
+        .union(edges.select(col("a").as("id"), col("a").as("lbl")).distinct())
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
-    assert(fixed, s"large-star/small-star did not converge in $maxRounds rounds")
-    // star forest: every child appears once with its component min;
-    // roots (= the minima) label themselves
-    edges.select(col("b").as("id"), col("a").as("lbl"))
-      .union(edges.select(col("a").as("id"), col("a").as("lbl")).distinct())
-      .groupBy("id").agg(min(col("lbl")).as("lbl"))
   }
 
   /** The production entry: min-label for the common short-diameter

@@ -301,8 +301,28 @@ object DedupQueries {
         coalesce(sum(when(size(col("members")) > MaxBucket,
           size(col("members")))), lit(0L)).as("dropped_members"))
       .filter(size(col("members")).between(2, MaxBucket))
+    // EXACT-code blocking key (q37's salted-h1 move, ADVICE r7): an
+    // exact-dup clique larger than MaxBucket shares every chunk AND
+    // every sub-chunk, so both capped levels would drop it — yet its
+    // pairs are precisely what q36's `exact_recall_ok` contract
+    // promises. Grouping on the full 64-bit code is deterministic and
+    // UNCAPPED: the pair expansion is quadratic only in clique size,
+    // and those pairs ARE the output (output-sized work, not blowup).
+    // Cap drops now cost only NEAR-dup recall, which the observe
+    // metrics already surface — the two contracts no longer conflict.
+    // Derived from the CHECKPOINTED chunk-0 buckets (every doc sits in
+    // exactly one chunk-0 bucket, and a clique of ≥2 keeps its bucket
+    // past the ≥2 filter), so the signature pipeline is not recomputed
+    // and the regroup shuffles (id, code) rows once.
+    val exactCliques = buckets
+      .filter(col("chunk_idx") === 0)
+      .select(explode(col("members")).as("m"))
+      .groupBy(col("m.sim").as("code"))
+      .agg(collect_list(col("m")).as("members"))
+      .filter(size(col("members")) >= 2)
     memberPairs(small, maxHamming)
       .union(memberPairs(reblocked, maxHamming))
+      .union(memberPairs(exactCliques, maxHamming))
       // dedup across chunk tables AFTER the cheap Hamming filter:
       // the exchange carries only true near-dup pairs
       .distinct()
@@ -420,16 +440,13 @@ object DedupQueries {
     *    fetch. On a duplicate-flooded corpus this short-circuits
     *    nearly every candidate.
     *  - the bottom-16 k-min sketch (its first 4 entries are the
-    *    blocking keys). Non-exact pairs are dropped when (a) the
-    *    deterministic size bound min(n_a,n_b)/max(n_a,n_b) — an upper
-    *    bound on Jaccard — is below threshold (no false negatives), or
-    *    (b) the sketches share fewer than min(2, n_min−1) elements
-    *    (≥ 1 would be a tautology — candidates share their blocking
-    *    key): exact below 3 grams, P[miss] = binom(16, J, ≤1) ≤ 2.6%
-    *    only at the J ≈ 0.3 boundary and vanishing above it
-    *    (documented trade; the testdata's planted pairs sit at
-    *    J ≈ 0.99 where the miss probability is ~0, so the brute-force
-    *    oracle is unaffected).
+    *    blocking keys; entries 5-8 re-block oversized buckets).
+    *    Non-exact pairs are dropped only by the deterministic size
+    *    bound min(n_a,n_b)/max(n_a,n_b) — an upper bound on Jaccard,
+    *    so zero false negatives and the engine stays EXACT w.r.t. the
+    *    brute-force oracle. (The r6 sketch-overlap gate was removed
+    *    in r7: its ~2.6% boundary miss probability made an exact
+    *    hash contract probabilistically flaky — ADVICE r7.)
     */
   /** (doc_id, text) → distinct word-3-gram sets, q37's feature. */
   private def gram3Of(raw: DataFrame): DataFrame = raw
@@ -493,17 +510,19 @@ object DedupQueries {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
           col("x.h2") === col("y.h2")).as("exact"),
-        // Overlap ≥ 2, NOT ≥ 1: a min-key candidate pair shares its
-        // blocking key in both sketches BY CONSTRUCTION, so ≥ 1 is a
-        // tautology (measured at ×8: 1.29M "plausible" pairs; ≥ 2
-        // leaves 75k). Tiny docs get an exact relaxation: J ≥ 0.3
-        // with only one shared gram forces min(n) ≤ 2, so the
-        // threshold is min(2, n_min - 1) — no false negatives below
-        // 3 grams, P[miss] ≈ binom(16, J, ≤1) ≤ 2.6% only at the
-        // J ≈ 0.3 boundary (and ~0 at the testdata's planted 0.99).
-        (size(array_intersect(col("x.sk"), col("y.sk"))) >=
-          least(lit(2), least(col("x.n"), col("y.n")) - 1) &&
-          least(col("x.n"), col("y.n")).cast("double") /
+        // EXACT necessary condition only: J = |∩|/|∪| ≤ n_min/n_max,
+        // so size-ratio < 0.3 provably fails the threshold — zero
+        // false negatives. The r6 sketch-overlap gate (bottom-16
+        // intersection ≥ 2) is deliberately NOT part of this flag:
+        // it had a ~2.6% per-pair miss probability at the J ≈ 0.3
+        // boundary (binom(16, J, ≤1)) while the DuckDB oracle is an
+        // exact brute-force Jaccard join — a probabilistic gate in
+        // front of an exact contract makes the hash check flaky on
+        // any corpus with boundary-similarity pairs (ADVICE r7).
+        // Engine recall is now exact w.r.t. the oracle; the price is
+        // a larger verify join (×8 measured r6: 1.29M candidates vs
+        // 75k gated), still candidate-sized and output-bounded.
+        (least(col("x.n"), col("y.n")).cast("double") /
             greatest(col("x.n"), col("y.n")).cast("double") >= 0.3)
           .as("plausible"))
     val pairs = expandSigPairs(small).union(expandSigPairs(reblocked))

@@ -25,50 +25,131 @@ object Extended22 {
   /** Integer PageRank over a directed edge list (`src`, `dst`):
     * `iters` rounds of r'(v) = 15% base + 85% of the sum of
     * r(u) DIV deg(u) over in-neighbours, all in micro-units.
-    * Requires every node to have at least one out-edge AND one
-    * in-edge (true for any symmetrized graph; dangling-mass handling
-    * would otherwise need a per-round global sum).
+    *
+    * Two recurrence paths, chosen by a one-time graph census:
+    *  - REGULAR graph (every node has ≥1 out- AND in-edge — true for
+    *    any symmetrized graph, e.g. q133's co-purchase graph): the
+    *    minimal recurrence — no node table, no dangling term; the
+    *    per-round plan is join → explode → one `dst`-keyed partial
+    *    agg.
+    *  - GENERAL graph (sinks and/or sourceless nodes): ranks live on
+    *    the full node set; each round redistributes the dangling mass
+    *    uniformly — r'(v) = base + (85·(in_mass(v) + dangShare)) DIV
+    *    100 with dangShare = (Σ r(u) over out-degree-0 u) DIV n —
+    *    computed INSIDE the round's single job (a broadcast 1-row
+    *    cross join), not as an extra action. Truncating integer
+    *    division at every step keeps the general path as
+    *    hash-checkable as the regular one (spec'd vs a Map-based
+    *    reference on a sink graph).
     *
     * Scale shape: the edge list is collapsed ONCE into an adjacency
     * table — one row per node with its out-neighbour array and degree
     * — and that compact table (N rows, E array cells) is what each
     * round re-reads: the per-round work is a join against the rank
-    * table (broadcast while it fits, sort-merge co-partitioned
-    * beyond), a row-local explode, and ONE `dst`-keyed shuffle with
-    * map-side partial sums. Measured vs the flat edge layout at
-    * sf0.1 (2.4M edges, MICRO.md): per-round cost is EQUAL once both
-    * are cached and balanced — the end-to-end win (9.2 → 5.6 s
-    * in-suite) is that the flat layout needs a separate degree-join
-    * build + 2.4M-row cache whose src-hash output partitioning
-    * inherits co-occurrence skew (straggler per round unless
-    * rebalanced), while the adjacency build IS the degree
-    * aggregation. Head-node arrays are the q123 posting-list skew
-    * surface — a node whose neighbour list outgrows a task falls
-    * back to the flat layout (same recurrence, only the storage
-    * differs). Lineage stays at `iters` depth via an eager
-    * per-round `localCheckpoint` of the tiny rank table — without the
-    * cut, round i's broadcast re-executes rounds 1..i-1 (measured
-    * O(iters²) passes).
+    * table, a row-local explode, and ONE `dst`-keyed shuffle with
+    * map-side partial sums. The rank join BROADCASTS the rank table
+    * only while it provably fits (`n ≤ broadcastMaxNodes`, default
+    * 4M nodes ≈ 64 MB of (long, long) rows); past the guard the
+    * adjacency table is re-persisted HASH-PARTITIONED on `src` so the
+    * per-round sort-merge join shuffles only the rank table — a
+    * web-scale node count degrades to one rank-sized exchange per
+    * round instead of OOMing the driver (both plan shapes asserted in
+    * PageRankSpec). Measured vs the flat edge layout at sf0.1 (2.4M
+    * edges, MICRO.md): per-round cost is EQUAL once both are cached
+    * and balanced — the end-to-end win (9.2 → 5.6 s in-suite) is that
+    * the flat layout needs a separate degree-join build + 2.4M-row
+    * cache whose src-hash output partitioning inherits co-occurrence
+    * skew (straggler per round unless rebalanced), while the
+    * adjacency build IS the degree aggregation. Head-node arrays are
+    * the q123 posting-list skew surface — a node whose neighbour list
+    * outgrows a task falls back to the flat layout (same recurrence,
+    * only the storage differs). Lineage stays at `iters` depth via an
+    * eager per-round `localCheckpoint` of the tiny rank table —
+    * without the cut, round i's join re-executes rounds 1..i-1
+    * (measured O(iters²) passes). The whole loop runs under
+    * [[graft.ScopedConf.forTinyLoop]] (codegen + AQE off): the
+    * per-round plans are KB-sized and the fixed compile cost per
+    * round was the BENCH_r06 driver spike (397 CPU-s vs 5 s warm).
+    * All persisted intermediates are unpersisted before returning.
     */
   def integerPageRank(edges: DataFrame, iters: Int,
-      scaleUnit: Long = 1000000000000L): DataFrame = {
-    val adj = edges.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = adj.count()
-    require(n > 0, "pagerank needs a non-empty graph")
-    val r0 = scaleUnit / n
-    val base = (15L * r0) / 100L
-    var r = adj.select(col("src").as("node"), lit(r0).as("r"))
-    for (_ <- 1 to iters)
-      r = adj.join(broadcast(r), adj("src") === r("node"))
-        .select(explode(col("dsts")).as("dst"), expr("r DIV d").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("in_mass"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
-        .localCheckpoint()
-    r
+      scaleUnit: Long = 1000000000000L,
+      broadcastMaxNodes: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val s = edges.sparkSession
+    graft.ScopedConf.forTinyLoop(s) {
+      var adj = edges.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("d"))
+        .persist(MEMORY_AND_DISK)
+      try {
+        val nOut = adj.count()
+        require(nOut > 0, "pagerank needs a non-empty graph")
+        // one-time census: is the graph regular (no dangling nodes, no
+        // in-degree-0 nodes)? Two edge-sized aggregations at build
+        // time, never per round.
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .persist(MEMORY_AND_DISK)
+        try {
+          val nAll = nodes.count()
+          val nIn = edges.select(col("dst")).distinct().count()
+          val regular = nOut == nAll && nIn == nAll
+          val n = nAll
+          if (n > broadcastMaxNodes) {
+            // big-graph path: co-partition the adjacency on the join
+            // key once, so each round's sort-merge join shuffles only
+            // the rank table
+            val old = adj
+            adj = adj.repartition(col("src")).persist(MEMORY_AND_DISK)
+            adj.count()
+            old.unpersist()
+          }
+          def rankJoin(r: DataFrame): DataFrame = {
+            // past the guard, pin sort-merge: the checkpointed rank
+            // table has no size stats, and a planner fallback to a
+            // driver-side broadcast is exactly the failure the guard
+            // exists to prevent
+            val rr = if (n <= broadcastMaxNodes) broadcast(r)
+                     else r.hint("merge")
+            adj.join(rr, adj("src") === r("node"))
+              .select(explode(col("dsts")).as("dst"), expr("r DIV d").as("c"))
+              .groupBy(col("dst"))
+              .agg(sum(col("c")).as("in_mass"))
+          }
+          val r0 = scaleUnit / n
+          val base = (15L * r0) / 100L
+          if (regular) {
+            var r = adj.select(col("src").as("node"), lit(r0).as("r"))
+            for (_ <- 1 to iters)
+              r = rankJoin(r)
+                .select(col("dst").as("node"),
+                  (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
+                .localCheckpoint()
+            r
+          } else {
+            var r = nodes.select(col("node"), lit(r0).as("r"))
+            for (_ <- 1 to iters) {
+              // dangling mass: rank parked on out-degree-0 nodes,
+              // shared uniformly — a 1-row aggregate broadcast into
+              // the same round job
+              val dang = r.join(adj.select(col("src").as("node")),
+                  Seq("node"), "left_anti")
+                .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+                .select(expr(s"dm DIV ${n}L").as("share"))
+              r = nodes
+                .join(rankJoin(r).withColumnRenamed("dst", "node"),
+                  Seq("node"), "left")
+                .crossJoin(broadcast(dang))
+                .select(col("node"), (lit(base) +
+                  expr("(85 * (coalesce(in_mass, 0L) + share)) DIV 100"))
+                  .as("r"))
+                .localCheckpoint()
+            }
+            r
+          }
+        } finally nodes.unpersist()
+      } finally adj.unpersist()
+    }
   }
 
   // --------------------------------------------------------------- q133

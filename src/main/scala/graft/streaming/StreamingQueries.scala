@@ -18,25 +18,45 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
-  /** Raw events schema as stored (ts = int64 nanos, see Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of the events parquet with the same ns→µs
-    * normalization as the batch loader.
+  /** Streaming read of the events parquet, normalized to a
+    * TimestampType `ts` the same way as the batch loader
+    * ([[graft.Tables.events]]): the stored type is probed from the
+    * parquet footer (a metadata-only batch read) because the driver's
+    * generator has shipped `ts` both as TIMESTAMP(NANOS) (pandas ns —
+    * readable only as raw int64 via `nanosAsLong`, then truncated
+    * µs-ward) and as plain TIMESTAMP(MICROS); a streaming source needs
+    * its schema declared up front, so the declared type must match the
+    * file, not an assumption.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
+    val stored = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // Watermarks demand TIMESTAMP (local-tz): declare it for either
+    // stored timestamp flavor — the file's µs payload is read as the
+    // same instant (session tz is UTC everywhere in this engine, so
+    // NTZ wall time ≡ UTC instant, matching how DuckDB reads the same
+    // file for the oracle). The int64-nanos legacy layout reads raw
+    // and truncates µs-ward.
+    val declaredTs = stored match {
+      case LongType => LongType
+      case _        => TimestampType
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", declaredTs),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = s.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    declaredTs match {
+      case LongType => // int64 nanos layout: truncate to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
 
   /** The reference's source-decl surface: a JSON-lines stream (the
@@ -266,10 +286,19 @@ object StreamingQueries {
     * which is why the DEMO query (q29) keeps immediate emission and
     * this mode ships as the semantics-exact alternative.
     *
-    * State: one buffer per key holding (id, ts, value, emitted); rows
-    * are dropped once BOTH emitted and behind (newest − window −
-    * delay); pending rows schedule an EventTimeTimeout at their event
-    * time so they flush as soon as the watermark passes, data or not.
+    * State: one buffer per key holding (id, ts, value, emitted).
+    * Pending rows (ts > watermark) are always retained and schedule an
+    * EventTimeTimeout at their event time so they flush as soon as the
+    * watermark passes, data or not. Emitted rows are retained only
+    * while a future ADMISSIBLE arrival could still window over them:
+    * the operator filters input below the watermark, so any future
+    * event has ts ≥ wm and its trailing window reaches at most down to
+    * wm − window — rows behind that are dead. Because the bound
+    * advances with the GLOBAL watermark (not the key's newest event),
+    * an idle key drains: the last timer fires once the watermark
+    * passes newest + window, the filter empties the buffer, and
+    * `state.remove()` runs — no per-key residue and no perpetually
+    * re-arming timer (spec-asserted: state rows return to zero).
     * Per-batch work is linear: exact-decimal prefix sums + two monotone
     * pointers, as in the immediate mode.
     */
@@ -326,9 +355,14 @@ object StreamingQueries {
               j += 1
             }
             // retain: anything still pending, plus emitted rows a
-            // future admissible event's window could still reach
-            val newest = arr(n - 1)._2
-            val horizon = newest - RangeWindowMicros - AllowedDelayMicros
+            // future ADMISSIBLE event's window could still reach. The
+            // operator drops input below the watermark, so a future
+            // event has ts ≥ wm and reaches at most down to
+            // wm − window: that bound advances with the GLOBAL
+            // watermark, so emitted rows age out even when the key
+            // never sees data again (a key-local newest-based horizon
+            // would pin the newest row, and the state, forever).
+            val horizon = wm - RangeWindowMicros
             val keep = next.filter(e => !e._4 || e._2 >= horizon).toList
             val pending = keep.filter(!_._4)
             // Spark rejects a timeout at-or-before the CURRENT
@@ -347,8 +381,13 @@ object StreamingQueries {
                 after(pending.map(_._2).min / 1000L + 1L))
             } else if (keep.nonEmpty) {
               state.update(keep)
+              // all emitted: the timer only garbage-collects — fire
+              // when the newest retained row falls behind wm − window,
+              // at which point the filter empties and the key is
+              // removed (the timer is NOT re-armed before then, so no
+              // per-watermark-advance re-processing of idle keys)
               state.setTimeoutTimestamp(after(
-                (newest + RangeWindowMicros + AllowedDelayMicros) / 1000L + 1L))
+                (keep.map(_._2).max + RangeWindowMicros) / 1000L + 1L))
             } else state.remove()
             results.iterator
           }

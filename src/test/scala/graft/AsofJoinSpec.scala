@@ -181,6 +181,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(noTol(2).getDouble(0) === 1.0)
   }
 
+  test("nearest rejects right payload columns that collide with left names") {
+    // withColumnRenamed renames every matching column: a shared name
+    // would silently corrupt the left twin, so the contract demands
+    // name-disjoint payloads (ADVICE r7) — must fail fast, not corrupt
+    val trades = Seq((1L, 10L, 100L, 9.0)).toDF("trade_id", "sym", "t", "px")
+    val quotes = Seq((10L, 90L, 1.0)).toDF("sym", "qt", "px") // px on BOTH
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofNearest(trades, quotes, "sym", "t", "qt", "trade_id")
+    }
+    assert(e.getMessage.contains("px"))
+    // pre-prefixed left columns collide with the internal tags too
+    val tradesPref = Seq((1L, 10L, 100L, 9.0)).toDF("trade_id", "sym", "t", "__b_px")
+    val quotes2 = Seq((10L, 90L, 1.0)).toDF("sym", "qt", "px")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofNearest(tradesPref, quotes2, "sym", "t", "qt", "trade_id")
+    }
+    assert(e2.getMessage.contains("__b_px"))
+  }
+
   test("q130 forward operator ≡ window-composed next-click on real data") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -57,16 +57,16 @@ class DedupSpec extends AnyFunSuite {
   }
 
   /** A level-2 sub-bucket overflow (≥65 docs agreeing on 15 code
-    * bits — an exact-dup flood) is dropped by design, but NOT
-    * silently: the `observe`d metrics must report how many
-    * buckets/members the cap discarded. 70 identical codes flood
-    * every level-1 chunk bucket (70 > MaxBucket) and then every
-    * level-2 sub-bucket (still 70 members), so all 8×8 sub-buckets
-    * drop and the pair output is empty — q34's job, visibly so.
-    * (The 0-drop case is asserted in the two-level recovery test
-    * below; a runtime-empty reblock branch would be pruned by AQE
-    * together with its metric node, so both assertions live on
-    * corpora whose oversized branch is non-empty.)
+    * bits — an exact-dup flood) is dropped by the CAPPED levels, still
+    * visibly (the `observe`d metrics report how many buckets/members
+    * the cap discarded) — but since r7 the flood's pairs are NOT lost:
+    * the uncapped exact-code blocking branch (ADVICE r7) recovers
+    * every identical-code pair, so `exact_recall_ok` holds regardless
+    * of cap drops. 70 identical codes flood every level-1 chunk bucket
+    * (70 > MaxBucket) and then every level-2 sub-bucket (still 70
+    * members): all 8×8 sub-buckets drop (metrics say so), and the
+    * output is exactly the C(70,2) Hamming-0 clique from the exact
+    * branch.
     */
   test("simHashPairs surfaces oversized-subbucket drops as observed metrics") {
     import spark.implicits._
@@ -80,7 +80,9 @@ class DedupSpec extends AnyFunSuite {
       val flood = (0 until 70).map(i => (i.toLong, 0x1234567890ABCDEFL))
       val pairsDf = graft.queries.DedupQueries.simHashPairs(flood.toDF("doc_id", "sim"))
       val rows = pairsDf.collect()
-      assert(rows.isEmpty, "a uniform flood must yield no blocked pairs")
+      assert(rows.length === 70 * 69 / 2,
+        s"exact-code branch must recover the full clique, got ${rows.length}")
+      assert(rows.forall(_.getAs[Long]("hamming") === 0L))
       val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
       assert(m.isDefined, "simhash_reblock metric not observed")
       assert(m.get.getAs[Long]("dropped_subbuckets") === 64L)

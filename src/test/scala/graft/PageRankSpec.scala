@@ -56,4 +56,99 @@ class PageRankSpec extends AnyFunSuite {
     assert(one === naive(edges, 1))
     assert(one !== naive(edges, 5))
   }
+
+  /** General recurrence with dangling-mass redistribution, plain maps:
+    * ranks over the FULL node set; each round the mass parked on
+    * out-degree-0 nodes is shared uniformly (integer DIV at each step,
+    * mirroring the engine's defined truncating semantics).
+    */
+  private def naiveGeneral(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val r0 = Scale / n
+    val base = (15L * r0) / 100L
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val dangShare = nodes.filterNot(out.contains).map(r).sum / n
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (base + (85L * (in.getOrElse(v, 0L) + dangShare)) / 100L)).toMap
+    }
+    r
+  }
+
+  // 2 is a sink (dangling), 0 has no in-edges — both irregularities
+  // that force the general path; 3→4→3 keeps some mass circulating
+  private val sinkEdges: Seq[(Long, Long)] =
+    Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (4L, 3L), (1L, 3L))
+
+  test("sink graph: dangling mass redistributed, matches naive general " +
+    "recurrence over the full node set") {
+    val got = Extended22.integerPageRank(sinkEdges.toDF("src", "dst"),
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = naiveGeneral(sinkEdges, 4)
+    assert(got === want)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L),
+      "ranks must cover sources and sinks, not just out-edge nodes")
+    // dangling redistribution is actually exercised: the sink holds
+    // mass, so its share must be non-zero in every round
+    assert(naiveGeneral(sinkEdges, 1)(2L) > 0L)
+  }
+
+  /** Captures every executed plan (localCheckpoint runs through the
+    * execution listener) so the in-loop join strategy is assertable
+    * even though the returned DataFrame's lineage is cut.
+    */
+  private def isRankJoin(p: String): Boolean =
+    p.contains("Join") && p.contains("dsts")
+
+  private def executedPlans(expectJoins: Int)(body: => Unit): Seq[String] = {
+    val plans = new scala.collection.concurrent.TrieMap[Long, String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.put(qe.id, qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      // listener delivery is async; wait for one join plan per round
+      val deadline = System.nanoTime() + 10000000000L
+      while (System.nanoTime() < deadline &&
+        plans.values.count(isRankJoin) < expectJoins) Thread.sleep(50)
+      plans.values.toSeq
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("plan shape under the guard: rank join is a broadcast hash join") {
+    val joins = executedPlans(expectJoins = 2) {
+      Extended22.integerPageRank(edges.toDF("src", "dst"), iters = 2).collect()
+    }.filter(isRankJoin)
+    assert(joins.nonEmpty, "no rank-join plan captured")
+    assert(joins.forall(_.contains("BroadcastHashJoin")),
+      s"guarded path must broadcast the rank table:\n${joins.head}")
+  }
+
+  test("plan shape past the guard: sort-merge, no broadcast of the rank " +
+    "table, and the same answer") {
+    var result: Map[Long, Long] = Map.empty
+    val joins = executedPlans(expectJoins = 2) {
+      result = Extended22.integerPageRank(edges.toDF("src", "dst"),
+          iters = 2, broadcastMaxNodes = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }.filter(isRankJoin)
+    assert(joins.nonEmpty, "no rank-join plan captured")
+    assert(joins.forall(p => p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin")),
+      s"past the guard the rank join must be sort-merge:\n${joins.head}")
+    assert(result === naive(edges, 2), "fallback path changed the answer")
+  }
 }

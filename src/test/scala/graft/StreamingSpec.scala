@@ -203,6 +203,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 1.0, 2L -> 3.0, 3L -> 4.0))
   }
 
+  /** Regression (r7, ADVICE): held-mode state must DRAIN for idle keys.
+    * The old eviction horizon was key-local (newest − window − delay),
+    * so a key's newest emitted row always survived its own filter and
+    * `state.remove()` was unreachable once the key had seen data — the
+    * timer (clamped to wm+1) then re-fired on every watermark advance
+    * forever. The fix evicts emitted rows against the GLOBAL
+    * admissibility bound (ts < watermark − window): key 1 goes idle in
+    * batch 0 while key 2 keeps pushing the watermark ~days past it —
+    * key 1's state must reach zero rows, leaving only key 2's pending
+    * tail.
+    */
+  test("held emission drains idle keys: state returns to the live tail only") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_drain").toFile
+    dir.deleteOnExit()
+    writeBatchFile(dir, 0, Seq((1L, 100L, 1L, 1.0), (2L, 110L, 1L, 2.0)))
+    writeBatchFile(dir, 1, Seq((3L, 100000L, 2L, 4.0)))
+    writeBatchFile(dir, 2, Seq((4L, 200000L, 2L, 8.0)))
+    writeBatchFile(dir, 3, Seq((5L, 300000L, 2L, 16.0)))
+    val src = eventsFileStream(dir)
+    val out = graft.streaming.StreamingQueries.rangeStateTransformHeld(spark, src)
+    val name = s"drain_sink_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    val stateRows = try {
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally { q.stop(); q.awaitTermination() }
+    val rows = spark.table(name).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("pay_amount"))
+      .toMap
+    spark.catalog.dropTempView(name)
+    // key 1 fully emitted, exact sums; event 5 (at the final maximum)
+    // stays withheld
+    assert(Map(1L -> 1.0, 2L -> 3.0, 3L -> 4.0).forall {
+      case (k, v) => rows.get(k).contains(v) })
+    assert(!rows.contains(5L), "event at the watermark frontier must be withheld")
+    // the leak signature: key 1's rows pinned forever (old code retains
+    // its 2 rows + key 2's tail = >=3). Drained state holds at most
+    // key 2's pending tail.
+    info(s"retained state rows after drain: $stateRows")
+    assert(stateRows <= 2L, s"idle-key state not drained: $stateRows rows")
+  }
+
   test("q29 transform recovers exactly-once from checkpoint on RocksDB state store") {
     import java.nio.file.Files
     // The production state path: durable checkpoint + RocksDB state
