@@ -37,4 +37,21 @@ object ScopedConf {
     withConf(s,
       "spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** Per-round row volume below which an iterative loop runs with the
+    * tiny profile. The trade: with codegen OFF each round saves
+    * seconds of fixed driver/JIT cost but pays ~2-5× per ROW
+    * (interpreted evaluation); with codegen ON the reverse. At 100M
+    * rows/round the interpreted penalty (~tens of CPU-s) still
+    * roughly matches one cold compile storm, and beyond it per-row
+    * cost dominates — a web-scale graph keeps codegen and AQE (skew
+    * handling) and amortizes compilation over billions of rows.
+    */
+  val TinyLoopRows: Long = 100L * 1000 * 1000
+
+  /** Size-aware loop scope: tiny profile under [[TinyLoopRows]]
+    * per-round rows, session defaults (codegen + AQE) above.
+    */
+  def forLoopOf[T](s: SparkSession, rowsPerRound: Long)(body: => T): T =
+    if (rowsPerRound <= TinyLoopRows) forTinyLoop(s)(body) else body
 }

@@ -40,9 +40,10 @@ import org.apache.spark.sql.functions._
   *    carried through the aggregation) instead of a separate
   *    join+count action; largeSmallStar's fixpoint signature rides
   *    the same way.
-  *  - The loops run with whole-stage codegen and AQE scoped off
-  *    ([[graft.ScopedConf.forTinyLoop]]) — tiny per-round plans spend
-  *    more compiling than running.
+  *  - The loops are size-gated ([[graft.ScopedConf.forLoopOf]]):
+  *    below ~100M edge rows per round whole-stage codegen and AQE are
+  *    scoped off (tiny per-round plans spend more compiling than
+  *    running); a web-scale graph keeps both.
   */
 object ConnectedComponents {
 
@@ -57,10 +58,13 @@ object ConnectedComponents {
     */
   def minLabel(pairs: DataFrame, maxRounds: Int = 25)
       : (DataFrame, Boolean, Int) = {
-    ScopedConf.forTinyLoop(pairs.sparkSession) {
-      val nbr = pairs.select(col("a"), col("b"))
-        .union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
-        .localCheckpoint()
+    val nbr = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
+      .localCheckpoint()
+    // per-round volume = the symmetric edge list each round re-joins;
+    // small graphs run the loop interpreted (fixed compile cost
+    // dominates), big ones keep codegen + AQE
+    ScopedConf.forLoopOf(pairs.sparkSession, nbr.count()) {
       var labels = nbr.select(col("id")).distinct()
         .select(col("id"), col("id").as("lbl")).localCheckpoint()
       val lblType = labels.schema("lbl").dataType
@@ -105,28 +109,33 @@ object ConnectedComponents {
     * collected).
     */
   def largeSmallStar(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
-    ScopedConf.forTinyLoop(pairs.sparkSession) {
-      // Fixpoint signature, computed as observe metrics ON the round's
-      // checkpoint job (no separate collect). XOR-fold, not SUM: ANSI
-      // mode makes a long SUM of 2^63-range hashes throw on overflow;
-      // XOR is order-independent and overflow-free, and the edge set is
-      // distinct so multiplicity cannot cancel.
-      def checkpointed(e: DataFrame): (DataFrame, (Long, Long)) = {
-        val obs = Observation()
-        val out = e.observe(obs, count(lit(1)).as("cnt"),
-          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("sig"))
-          .localCheckpoint()
-        (out, (obs.get("cnt").asInstanceOf[Long],
-          obs.get("sig").asInstanceOf[Long]))
-      }
+    // Fixpoint signature, computed as observe metrics ON the round's
+    // checkpoint job (no separate collect). XOR-fold, not SUM: ANSI
+    // mode makes a long SUM of 2^63-range hashes throw on overflow;
+    // XOR is order-independent and overflow-free, and the edge set is
+    // distinct so multiplicity cannot cancel.
+    def checkpointed(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = Observation()
+      val out = e.observe(obs, count(lit(1)).as("cnt"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("sig"))
+        .localCheckpoint()
+      (out, (obs.get("cnt").asInstanceOf[Long],
+        obs.get("sig").asInstanceOf[Long]))
+    }
 
-      // canonical undirected edges, self-loops dropped
-      var (edges, sig) = checkpointed(pairs
-        .select(least(col("a"), col("b")).as("s"),
-          greatest(col("a"), col("b")).as("l"))
-        .filter(col("s") =!= col("l"))
-        .select(col("s").as("a"), col("l").as("b"))
-        .distinct())
+    // canonical undirected edges, self-loops dropped
+    val (edges0, sig0) = checkpointed(pairs
+      .select(least(col("a"), col("b")).as("s"),
+        greatest(col("a"), col("b")).as("l"))
+      .filter(col("s") =!= col("l"))
+      .select(col("s").as("a"), col("l").as("b"))
+      .distinct())
+
+    // per-round volume ≈ the (shrinking) edge set; gate the loop
+    // profile on the initial size
+    ScopedConf.forLoopOf(pairs.sparkSession, sig0._1) {
+      var edges = edges0
+      var sig = sig0
 
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.select(col("a").as("u"), col("b").as("v"))

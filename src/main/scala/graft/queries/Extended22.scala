@@ -66,58 +66,66 @@ object Extended22 {
     * only the storage differs). Lineage stays at `iters` depth via an
     * eager per-round `localCheckpoint` of the tiny rank table —
     * without the cut, round i's join re-executes rounds 1..i-1
-    * (measured O(iters²) passes). The whole loop runs under
-    * [[graft.ScopedConf.forTinyLoop]] (codegen + AQE off): the
-    * per-round plans are KB-sized and the fixed compile cost per
-    * round was the BENCH_r06 driver spike (397 CPU-s vs 5 s warm).
-    * All persisted intermediates are unpersisted before returning.
+    * (measured O(iters²) passes). The iteration loop runs under
+    * [[graft.ScopedConf.forLoopOf]]: below ~100M edge cells per round
+    * codegen + AQE are scoped OFF — the per-round plans are KB-sized
+    * and the fixed compile cost per round was the BENCH_r06 driver
+    * spike (397 CPU-s vs 5 s warm) — while a web-scale graph keeps
+    * both (per-row interpreted cost would dominate there, and
+    * compilation amortizes over billions of cells). All persisted
+    * intermediates are unpersisted before returning.
     */
   def integerPageRank(edges: DataFrame, iters: Int,
       scaleUnit: Long = 1000000000000L,
       broadcastMaxNodes: Long = 4L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = edges.sparkSession
-    graft.ScopedConf.forTinyLoop(s) {
-      var adj = edges.groupBy(col("src"))
-        .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("d"))
+    var adj = edges.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("d"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      val nOut = adj.count()
+      require(nOut > 0, "pagerank needs a non-empty graph")
+      // one-time census: node count, edge count, and regularity (no
+      // dangling nodes, no in-degree-0 nodes) — edge-sized
+      // aggregations at build time, never per round.
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
         .persist(MEMORY_AND_DISK)
       try {
-        val nOut = adj.count()
-        require(nOut > 0, "pagerank needs a non-empty graph")
-        // one-time census: is the graph regular (no dangling nodes, no
-        // in-degree-0 nodes)? Two edge-sized aggregations at build
-        // time, never per round.
-        val nodes = edges.select(col("src").as("node"))
-          .union(edges.select(col("dst").as("node"))).distinct()
-          .persist(MEMORY_AND_DISK)
-        try {
-          val nAll = nodes.count()
-          val nIn = edges.select(col("dst")).distinct().count()
-          val regular = nOut == nAll && nIn == nAll
-          val n = nAll
-          if (n > broadcastMaxNodes) {
-            // big-graph path: co-partition the adjacency on the join
-            // key once, so each round's sort-merge join shuffles only
-            // the rank table
-            val old = adj
-            adj = adj.repartition(col("src")).persist(MEMORY_AND_DISK)
-            adj.count()
-            old.unpersist()
-          }
-          def rankJoin(r: DataFrame): DataFrame = {
-            // past the guard, pin sort-merge: the checkpointed rank
-            // table has no size stats, and a planner fallback to a
-            // driver-side broadcast is exactly the failure the guard
-            // exists to prevent
-            val rr = if (n <= broadcastMaxNodes) broadcast(r)
-                     else r.hint("merge")
-            adj.join(rr, adj("src") === r("node"))
-              .select(explode(col("dsts")).as("dst"), expr("r DIV d").as("c"))
-              .groupBy(col("dst"))
-              .agg(sum(col("c")).as("in_mass"))
-          }
-          val r0 = scaleUnit / n
-          val base = (15L * r0) / 100L
+        val nAll = nodes.count()
+        val nIn = edges.select(col("dst")).distinct().count()
+        val eCells = adj.agg(coalesce(sum(col("d")), lit(0L)))
+          .collect()(0).getLong(0)
+        val regular = nOut == nAll && nIn == nAll
+        val n = nAll
+        if (n > broadcastMaxNodes) {
+          // big-graph path: co-partition the adjacency on the join
+          // key once, so each round's sort-merge join shuffles only
+          // the rank table
+          val old = adj
+          adj = adj.repartition(col("src")).persist(MEMORY_AND_DISK)
+          adj.count()
+          old.unpersist()
+        }
+        def rankJoin(r: DataFrame): DataFrame = {
+          // past the guard, pin sort-merge: the checkpointed rank
+          // table has no size stats, and a planner fallback to a
+          // driver-side broadcast is exactly the failure the guard
+          // exists to prevent
+          val rr = if (n <= broadcastMaxNodes) broadcast(r)
+                   else r.hint("merge")
+          adj.join(rr, adj("src") === r("node"))
+            .select(explode(col("dsts")).as("dst"), expr("r DIV d").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("in_mass"))
+        }
+        val r0 = scaleUnit / n
+        val base = (15L * r0) / 100L
+        // per-round volume = exploded edge cells; the loop profile is
+        // size-gated (interpreted under the threshold, codegen + AQE
+        // above it — ScopedConf.forLoopOf)
+        graft.ScopedConf.forLoopOf(s, eCells) {
           if (regular) {
             var r = adj.select(col("src").as("node"), lit(r0).as("r"))
             for (_ <- 1 to iters)
@@ -147,9 +155,9 @@ object Extended22 {
             }
             r
           }
-        } finally nodes.unpersist()
-      } finally adj.unpersist()
-    }
+        }
+      } finally nodes.unpersist()
+    } finally adj.unpersist()
   }
 
   // --------------------------------------------------------------- q133
