@@ -46,8 +46,16 @@ object ScopedConf {
     * roughly matches one cold compile storm, and beyond it per-row
     * cost dominates — a web-scale graph keeps codegen and AQE (skew
     * handling) and amortizes compilation over billions of rows.
+    * Measured at ×8 (19M edge cells/round, warm JVM, r7): PageRank
+    * 26.7 s interpreted vs 25.3 s codegen'd — a wash; shuffle cost
+    * dominates well past the gate scale, so the threshold's exact
+    * value is uncritical there and earns its keep in cold
+    * (JIT-throttled) environments. Override with
+    * SPARK_GRAFT_TINY_LOOP_ROWS for deployment-shaped tuning.
     */
-  val TinyLoopRows: Long = 100L * 1000 * 1000
+  val TinyLoopRows: Long =
+    sys.env.get("SPARK_GRAFT_TINY_LOOP_ROWS").map(_.toLong)
+      .getOrElse(100L * 1000 * 1000)
 
   /** Size-aware loop scope: tiny profile under [[TinyLoopRows]]
     * per-round rows, session defaults (codegen + AQE) above.
