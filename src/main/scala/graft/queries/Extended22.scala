@@ -61,9 +61,15 @@ object Extended22 {
     * cache whose src-hash output partitioning inherits co-occurrence
     * skew (straggler per round unless rebalanced), while the
     * adjacency build IS the degree aggregation. Head-node arrays are
-    * the q123 posting-list skew surface — a node whose neighbour list
-    * outgrows a task falls back to the flat layout (same recurrence,
-    * only the storage differs). Lineage stays at `iters` depth via an
+    * the q123 posting-list skew surface — nodes whose out-degree
+    * exceeds `maxAdjArray` (default 1M ≈ 8 MB/row) KEEP THEIR EDGES
+    * FLAT: the hybrid layout stores the degree body as arrays and the
+    * power-law head as (src, dst, d) rows spread across partitions,
+    * joins the head's (always broadcast-tiny) rank slice map-side,
+    * and unions both contribution streams into the same single
+    * dst-keyed aggregation — same recurrence, no multi-GB row, no
+    * one-task straggler (spec: forced split reproduces the unsplit
+    * ranks exactly). Lineage stays at `iters` depth via an
     * eager per-round `localCheckpoint` of the tiny rank table —
     * without the cut, round i's join re-executes rounds 1..i-1
     * (measured O(iters²) passes). The iteration loop runs under
@@ -77,87 +83,124 @@ object Extended22 {
     */
   def integerPageRank(edges: DataFrame, iters: Int,
       scaleUnit: Long = 1000000000000L,
-      broadcastMaxNodes: Long = 4L << 20): DataFrame = {
+      broadcastMaxNodes: Long = 4L << 20,
+      maxAdjArray: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = edges.sparkSession
-    var adj = edges.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("d"))
+    // out-degree census first: it drives the head split, the
+    // regularity check, the edge-cell count, and the dangling test —
+    // one edge-sized aggregation, reused everywhere.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .persist(MEMORY_AND_DISK)
     try {
-      val nOut = adj.count()
+      val nOut = deg.count()
       require(nOut > 0, "pagerank needs a non-empty graph")
-      // one-time census: node count, edge count, and regularity (no
-      // dangling nodes, no in-degree-0 nodes) — edge-sized
-      // aggregations at build time, never per round.
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
-        .persist(MEMORY_AND_DISK)
+      // HEAD NODES (out-degree > maxAdjArray) keep their edges FLAT:
+      // a power-law hub's neighbour array would otherwise become one
+      // multi-GB row pinned to one task (the q123 posting-list skew
+      // surface). Σd = E bounds the head count by E/maxAdjArray, so
+      // the head table is always broadcast-tiny.
+      val heads = deg.filter(col("d") > maxAdjArray).persist(MEMORY_AND_DISK)
       try {
-        val nAll = nodes.count()
-        val nIn = edges.select(col("dst")).distinct().count()
-        val eCells = adj.agg(coalesce(sum(col("d")), lit(0L)))
-          .collect()(0).getLong(0)
-        val regular = nOut == nAll && nIn == nAll
-        val n = nAll
-        if (n > broadcastMaxNodes) {
-          // big-graph path: co-partition the adjacency on the join
-          // key once, so each round's sort-merge join shuffles only
-          // the rank table
-          val old = adj
-          adj = adj.repartition(col("src")).persist(MEMORY_AND_DISK)
-          adj.count()
-          old.unpersist()
-        }
-        def rankJoin(r: DataFrame): DataFrame = {
-          // past the guard, pin sort-merge: the checkpointed rank
-          // table has no size stats, and a planner fallback to a
-          // driver-side broadcast is exactly the failure the guard
-          // exists to prevent
-          val rr = if (n <= broadcastMaxNodes) broadcast(r)
-                   else r.hint("merge")
-          adj.join(rr, adj("src") === r("node"))
-            .select(explode(col("dsts")).as("dst"), expr("r DIV d").as("c"))
-            .groupBy(col("dst"))
-            .agg(sum(col("c")).as("in_mass"))
-        }
-        val r0 = scaleUnit / n
-        val base = (15L * r0) / 100L
-        // per-round volume = exploded edge cells; the loop profile is
-        // size-gated (interpreted under the threshold, codegen + AQE
-        // above it — ScopedConf.forLoopOf)
-        graft.ScopedConf.forLoopOf(s, eCells) {
-          if (regular) {
-            var r = adj.select(col("src").as("node"), lit(r0).as("r"))
-            for (_ <- 1 to iters)
-              r = rankJoin(r)
-                .select(col("dst").as("node"),
-                  (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
-                .localCheckpoint()
-            r
-          } else {
-            var r = nodes.select(col("node"), lit(r0).as("r"))
-            for (_ <- 1 to iters) {
-              // dangling mass: rank parked on out-degree-0 nodes,
-              // shared uniformly — a 1-row aggregate broadcast into
-              // the same round job
-              val dang = r.join(adj.select(col("src").as("node")),
-                  Seq("node"), "left_anti")
-                .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-                .select(expr(s"dm DIV ${n}L").as("share"))
-              r = nodes
-                .join(rankJoin(r).withColumnRenamed("dst", "node"),
-                  Seq("node"), "left")
-                .crossJoin(broadcast(dang))
-                .select(col("node"), (lit(base) +
-                  expr("(85 * (coalesce(in_mass, 0L) + share)) DIV 100"))
-                  .as("r"))
-                .localCheckpoint()
+        val nHeads = heads.count()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .persist(MEMORY_AND_DISK)
+        try {
+          val nAll = nodes.count()
+          val nIn = edges.select(col("dst")).distinct().count()
+          val eCells = deg.agg(coalesce(sum(col("d")), lit(0L)))
+            .collect()(0).getLong(0)
+          val regular = nOut == nAll && nIn == nAll
+          val n = nAll
+          def coPart(df: DataFrame): DataFrame =
+            if (n > broadcastMaxNodes) df.repartition(col("src")) else df
+          // array layout for the body of the degree distribution...
+          val adj = coPart(
+            (if (nHeads == 0) edges
+             else edges.join(broadcast(heads.select(col("src"))),
+               Seq("src"), "left_anti"))
+              .groupBy(col("src"))
+              .agg(collect_list(col("dst")).as("dsts"),
+                count(lit(1)).as("d")))
+            .persist(MEMORY_AND_DISK)
+          // ...flat (src, dst, d) rows for the heads: edge-per-row,
+          // deliberately NOT src-partitioned (that would pin one
+          // head's edges to one task — the skew this path exists to
+          // avoid); its rank side broadcasts, so no co-partitioning
+          // requirement exists
+          val flat =
+            if (nHeads == 0) None
+            else Some(edges.join(broadcast(heads), Seq("src"))
+              .persist(MEMORY_AND_DISK))
+          try {
+            adj.count(); flat.foreach(_.count())
+            def rankJoin(r: DataFrame): DataFrame = {
+              // past the guard, pin sort-merge: the checkpointed rank
+              // table has no size stats, and a planner fallback to a
+              // driver-side broadcast is exactly the failure the guard
+              // exists to prevent
+              val rr = if (n <= broadcastMaxNodes) broadcast(r)
+                       else r.hint("merge")
+              val arrPart = adj.join(rr, adj("src") === r("node"))
+                .select(explode(col("dsts")).as("dst"),
+                  expr("r DIV d").as("c"))
+              val contrib = flat match {
+                case None => arrPart
+                case Some(f) =>
+                  // the head RANK slice is nHeads rows — broadcast it
+                  // regardless of the global guard; the flat join is
+                  // then map-side over the persisted edge rows
+                  val hr = r.join(
+                    broadcast(heads.select(col("src").as("node"))),
+                    Seq("node"))
+                  arrPart.union(
+                    f.join(broadcast(hr), f("src") === hr("node"))
+                      .select(f("dst").as("dst"), expr("r DIV d").as("c")))
+              }
+              contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
             }
-            r
-          }
-        }
-      } finally nodes.unpersist()
-    } finally adj.unpersist()
+            val r0 = scaleUnit / n
+            val base = (15L * r0) / 100L
+            // per-round volume = exploded edge cells; the loop profile
+            // is size-gated (interpreted under the threshold, codegen +
+            // AQE above it — ScopedConf.forLoopOf)
+            graft.ScopedConf.forLoopOf(s, eCells) {
+              if (regular) {
+                var r = deg.select(col("src").as("node"), lit(r0).as("r"))
+                  .localCheckpoint()
+                for (_ <- 1 to iters)
+                  r = rankJoin(r)
+                    .select(col("dst").as("node"),
+                      (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
+                    .localCheckpoint()
+                r
+              } else {
+                var r = nodes.select(col("node"), lit(r0).as("r"))
+                for (_ <- 1 to iters) {
+                  // dangling mass: rank parked on out-degree-0 nodes,
+                  // shared uniformly — a 1-row aggregate broadcast into
+                  // the same round job
+                  val dang = r.join(deg.select(col("src").as("node")),
+                      Seq("node"), "left_anti")
+                    .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+                    .select(expr(s"dm DIV ${n}L").as("share"))
+                  r = nodes
+                    .join(rankJoin(r).withColumnRenamed("dst", "node"),
+                      Seq("node"), "left")
+                    .crossJoin(broadcast(dang))
+                    .select(col("node"), (lit(base) +
+                      expr("(85 * (coalesce(in_mass, 0L) + share)) DIV 100"))
+                      .as("r"))
+                    .localCheckpoint()
+                }
+                r
+              }
+            }
+          } finally { adj.unpersist(); flat.foreach(_.unpersist()) }
+        } finally nodes.unpersist()
+      } finally heads.unpersist()
+    } finally deg.unpersist()
   }
 
   // --------------------------------------------------------------- q133

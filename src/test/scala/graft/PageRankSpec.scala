@@ -137,6 +137,23 @@ class PageRankSpec extends AnyFunSuite {
       s"guarded path must broadcast the rank table:\n${joins.head}")
   }
 
+  test("head-node hybrid layout: forced flat split reproduces exact ranks") {
+    // maxAdjArray=2 makes the star hub (degree 4) a head node while
+    // the spokes/triangle (degree ≤ 2) stay on the array layout —
+    // both contribution streams and their union are exercised
+    val split = Extended22.integerPageRank(edges.toDF("src", "dst"),
+        iters = 5, maxAdjArray = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split === naive(edges, 5),
+      "hybrid flat+array layout changed the answer")
+    // degenerate: EVERY node a head (pure flat layout) still exact,
+    // and on the sink graph the general path composes with the split
+    val allFlat = Extended22.integerPageRank(sinkEdges.toDF("src", "dst"),
+        iters = 3, maxAdjArray = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allFlat === naiveGeneral(sinkEdges, 3))
+  }
+
   test("plan shape past the guard: sort-merge, no broadcast of the rank " +
     "table, and the same answer") {
     var result: Map[Long, Long] = Map.empty
