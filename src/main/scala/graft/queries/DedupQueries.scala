@@ -72,10 +72,14 @@ object DedupQueries {
   /** Expand capped buckets (`ids` array) into distinct candidate pairs
     * (a < b). One aggregation shuffle of (key, id) rows, then per-row
     * array expansion — no self-join, no feature arrays in flight.
+    * `cap` bounds the expansion per bucket (default [[MaxBucket]]);
+    * pass `Int.MaxValue` for the exact-signature key spaces whose
+    * expansion is output-sized by construction.
     */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  private def bucketPairs(buckets: DataFrame,
+      cap: Int = MaxBucket): DataFrame =
     buckets
-      .filter(size(col("ids")).between(2, MaxBucket))
+      .filter(size(col("ids")).between(2, cap))
       // AQE rightly coalesces the (tiny) bucket shuffle to ~1 post-
       // shuffle partition — but the stage BELOW is the quadratic pair
       // expansion, the pipeline's heavy compute. Spread the bucket
@@ -216,13 +220,26 @@ object DedupQueries {
     */
   private[graft] def minHashPairs(raw: DataFrame): DataFrame = {
     val sh = shingle2Of(raw)
-    val sigs = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
+    // Band keys PLUS an exact-signature key (band index 16, the q37
+    // salted-h1 move, r7): an exact-dup clique larger than MaxBucket
+    // floods ALL its band buckets past the cap — without this key its
+    // pairs (which the brute-force oracle requires at J = 1) would
+    // silently drop. The exact key space is UNCAPPED: identical full
+    // signatures ⇒ the expansion is output-sized, not a blowup; the
+    // capped band buckets keep bounding the probabilistic candidates.
+    val keyed = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
       .select(col("doc_id"),
-        posexplode(Hashing.bandKeys(col("sig"), bands = 16, rows = 8))
+        posexplode(concat(
+          Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
+          array(xxhash64(lit("exact-sig"), col("sig")))))
           .as(Seq("band", "key")))
-    val buckets = sigs
+    val buckets = keyed
       .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
-    val cands = bucketPairs(buckets)
+      .localCheckpoint()
+    val cands = bucketPairs(buckets.filter(col("band") < 16))
+      .union(bucketPairs(buckets.filter(col("band") === 16),
+        cap = Int.MaxValue))
+      .distinct()
     attachFeaturesBy(cands,
       ids => shingle2Of(raw.join(broadcast(ids), "doc_id")),
       "doc_id", "shingles")

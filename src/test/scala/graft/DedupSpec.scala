@@ -90,6 +90,23 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** Regression (r7, mirrors the q36 fix): an exact-dup clique larger
+    * than MaxBucket floods every one of its 16 band buckets past the
+    * cap — before the exact-signature key its pairs silently dropped,
+    * contradicting the brute-force J ≥ 0.5 oracle. The uncapped exact
+    * key space must recover the full clique.
+    */
+  test("q35 exact-dup flood past the bucket cap keeps full pair recall") {
+    import spark.implicits._
+    val flood = (0 until 70).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.DedupQueries.minHashPairs(flood).collect()
+    assert(got.length === 70 * 69 / 2,
+      s"expected the full C(70,2) clique, got ${got.length}")
+    assert(got.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("q37 n-gram Jaccard: all reported pairs verified >= 0.3; planted pairs found") {
     val got = SparkEntry.queries("q37_ngram_jaccard")(spark, sf).collect()
     assert(got.forall(_.getAs[Double]("jaccard") >= 0.3))
