@@ -563,15 +563,31 @@ object DedupQueries {
     * (8 hyperplanes × 8 tables) + exact cosine ≥ 0.4 verify with the
     * native CosineSim expression. Hyperplanes are seeded-deterministic.
     */
-  private def q38(s0: SparkSession, dir: String): DataFrame = {
-    val s = dedupSession(s0)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+  /** q38's candidate generation (factored for the flood spec): 8
+    * capped SRP tables plus the uncapped exact-embedding key (table
+    * index 8 — the r7 flood-proofing move, cf. [[minHashPairs]]): a
+    * byte-identical embedding clique past the cap still surfaces all
+    * its pairs (output-sized by construction).
+    */
+  private[graft] def embeddingPairs(emb: DataFrame): DataFrame = {
     val coded = emb.select(col("vec_id"),
-      posexplode(Lsh.srpCodes(col("embedding"), tables = 8, bits = 8))
+      posexplode(concat(
+        Lsh.srpCodes(col("embedding"), tables = 8, bits = 8),
+        array(xxhash64(lit("exact-emb"), col("embedding")))))
         .as(Seq("tbl", "code")))
     val buckets = coded
       .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
-    val cands = bucketPairs(buckets)
+      .localCheckpoint()
+    bucketPairs(buckets.filter(col("tbl") < 8))
+      .union(bucketPairs(buckets.filter(col("tbl") === 8),
+        cap = Int.MaxValue))
+      .distinct()
+  }
+
+  private def q38(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cands = embeddingPairs(emb)
     attachFeatures(cands, emb, "vec_id", "embedding")
       .select(col("a"), col("b"), CosineSim(col("f_a"), col("f_b")).as("cos"))
       .filter(col("cos") >= 0.4)

@@ -107,6 +107,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("jaccard") === 1.0))
   }
 
+  test("q38 exact-embedding flood past the bucket cap keeps full pair recall") {
+    import spark.implicits._
+    val vec = Array.tabulate(16)(i => 0.25f * (i % 4))
+    val flood = (0 until 70).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val got = graft.queries.DedupQueries.embeddingPairs(flood).collect()
+    assert(got.length === 70 * 69 / 2,
+      s"expected the full C(70,2) clique, got ${got.length}")
+  }
+
   test("q37 n-gram Jaccard: all reported pairs verified >= 0.3; planted pairs found") {
     val got = SparkEntry.queries("q37_ngram_jaccard")(spark, sf).collect()
     assert(got.forall(_.getAs[Double]("jaccard") >= 0.3))
