@@ -474,8 +474,15 @@ object DedupQueries {
 
   private def q37(s0: SparkSession, dir: String): DataFrame = {
     val s = dedupSession(s0)
-    val raw = fanOut(Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")))
+    gramJaccardPairs(fanOut(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))))
+      .orderBy("a", "b")
+  }
+
+  /** q37's pair pipeline over an explicit (doc_id, text) corpus
+    * (factored for the flood spec, cf. [[minHashPairs]]).
+    */
+  private[graft] def gramJaccardPairs(raw: DataFrame): DataFrame = {
     val docs = gram3Of(raw)
     // Bind the sorted hash array as an attribute before fanning it
     // into h1/h2/sk (cf. q36: unbound HOF chains re-evaluate per
@@ -497,22 +504,35 @@ object DedupQueries {
     // drowns in an oversized bucket. Measured at ×8: min-keys alone
     // lose 6,748 of 140,000 clique pairs (popular grams flood their
     // buckets past MaxBucket); with the h1 key, recall is 100%.
+    // The exact buckets are flagged (`isx`) and UNCAPPED (r7): a
+    // clique larger than MaxBucket shares every sketch entry too, so
+    // both capped levels would drop it wholesale — the ×70 flood
+    // harness measured exactly that (recall 0 at clique size 70).
+    // Expansion of an exact bucket is output-sized by construction
+    // (every pair is a true J=1 answer).
     val keyed = sigs.select(col("m"),
       explode(array_union(slice(col("m.sk"), 1, 4),
         array(xxhash64(lit("exact"), col("m.h1"))))).as("minkey"))
-    // feeds BOTH level filters — materialize once (cf. simHashPairs)
+      .withColumn("isx",
+        col("minkey") === xxhash64(lit("exact"), col("m.h1")))
+    // feeds all three branch filters — materialize once (cf.
+    // simHashPairs); a min-key colliding with another doc's exact
+    // hash just splits that bucket into its two roles, losing nothing
     val buckets = keyed
-      .groupBy("minkey").agg(collect_list("m").as("members"))
+      .groupBy("minkey", "isx").agg(collect_list("m").as("members"))
       .filter(size(col("members")) >= 2)
       .localCheckpoint()
-    val small = buckets.filter(size(col("members")) <= MaxBucket)
+    val small = buckets.filter(!col("isx") &&
+      size(col("members")) <= MaxBucket)
+    val exactBuckets = buckets.filter(col("isx"))
     // Level 2 (cf. simHashPairs): an OVERSIZED min-key bucket is
     // re-blocked on its members' next-4 min hashes — two near-dups
     // stranded in a flooded bucket very likely share another bottom-16
     // entry (P ≈ 1-(1-J)^4 per level) — capped again; only a
     // sub-bucket that ALSO overflows is dropped. The re-block exchange
     // carries only overflow members, not the corpus.
-    val reblocked = buckets.filter(size(col("members")) > MaxBucket)
+    val reblocked = buckets
+      .filter(!col("isx") && size(col("members")) > MaxBucket)
       .select(col("minkey"), explode(col("members")).as("m"))
       .select(col("minkey"), col("m"),
         explode(slice(col("m.sk"), 5, 4)).as("subkey"))
@@ -542,7 +562,9 @@ object DedupQueries {
         (least(col("x.n"), col("y.n")).cast("double") /
             greatest(col("x.n"), col("y.n")).cast("double") >= 0.3)
           .as("plausible"))
-    val pairs = expandSigPairs(small).union(expandSigPairs(reblocked))
+    val pairs = expandSigPairs(small)
+      .union(expandSigPairs(reblocked))
+      .union(expandSigPairs(exactBuckets))
       .distinct()
       // feeds two consumers (shortcut + verify): materialize once
       .localCheckpoint()
@@ -555,7 +577,7 @@ object DedupQueries {
       "doc_id", "grams")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
-    exactPairs.union(verified).orderBy("a", "b")
+    exactPairs.union(verified)
   }
 
   // ---------------------------------------------------------------- q38

@@ -107,6 +107,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("jaccard") === 1.0))
   }
 
+  /** Regression (r7): the ×70 replication harness measured q37 recall
+    * COLLAPSE to 0 at clique size 70 — the exact-sig key shared the
+    * capped bucket space, and exact copies share every sketch entry,
+    * so level 1 AND every level-2 sub-bucket overflowed and dropped.
+    * The exact-keyed buckets are now uncapped (cf. the q35/q36 fix).
+    */
+  test("q37 exact-dup flood past the bucket cap keeps full pair recall") {
+    import spark.implicits._
+    val flood = (0 until 70).map(i =>
+      (i.toLong, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = graft.queries.DedupQueries.gramJaccardPairs(flood).collect()
+    assert(pairs.length === 70 * 69 / 2,
+      s"expected the full C(70,2) clique, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("q38 exact-embedding flood past the bucket cap keeps full pair recall") {
     import spark.implicits._
     val vec = Array.tabulate(16)(i => 0.25f * (i % 4))
