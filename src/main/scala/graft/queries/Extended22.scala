@@ -93,24 +93,35 @@ object Extended22 {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .persist(MEMORY_AND_DISK)
     try {
-      val nOut = deg.count()
+      // ONE action over the cached degree table yields the whole
+      // out-side census: node count, edge-cell count, and the head
+      // count (out-degree > maxAdjArray — a power-law hub whose
+      // neighbour array would otherwise become one multi-GB row
+      // pinned to one task, the q123 posting-list skew surface;
+      // Σd = E bounds the head count by E/maxAdjArray, so the head
+      // table is always broadcast-tiny).
+      val degStats = deg.agg(count(lit(1)),
+        coalesce(sum(col("d")), lit(0L)),
+        count(when(col("d") > maxAdjArray, 1))).collect()(0)
+      val (nOut, eCells, nHeads) =
+        (degStats.getLong(0), degStats.getLong(1), degStats.getLong(2))
       require(nOut > 0, "pagerank needs a non-empty graph")
-      // HEAD NODES (out-degree > maxAdjArray) keep their edges FLAT:
-      // a power-law hub's neighbour array would otherwise become one
-      // multi-GB row pinned to one task (the q123 posting-list skew
-      // surface). Σd = E bounds the head count by E/maxAdjArray, so
-      // the head table is always broadcast-tiny.
-      val heads = deg.filter(col("d") > maxAdjArray).persist(MEMORY_AND_DISK)
-      try {
-        val nHeads = heads.count()
-        val nodes = edges.select(col("src").as("node"))
-          .union(edges.select(col("dst").as("node"))).distinct()
+      // heads is a projection of the CACHED deg table — no separate
+      // persist; its three consumers each broadcast a deg-cache scan
+      val heads = deg.filter(col("d") > maxAdjArray)
+      locally {
+        // in/out coverage in ONE shuffle: tag each endpoint role and
+        // keep the max tag per node — nAll is the row count, nIn the
+        // tagged sum (replaces two separate distinct-count shuffles)
+        val nodes0 = edges.select(col("src").as("node"), lit(0L).as("i"))
+          .union(edges.select(col("dst").as("node"), lit(1L).as("i")))
+          .groupBy(col("node")).agg(max(col("i")).as("has_in"))
           .persist(MEMORY_AND_DISK)
         try {
-          val nAll = nodes.count()
-          val nIn = edges.select(col("dst")).distinct().count()
-          val eCells = deg.agg(coalesce(sum(col("d")), lit(0L)))
-            .collect()(0).getLong(0)
+          val nst = nodes0.agg(count(lit(1)),
+            coalesce(sum(col("has_in")), lit(0L))).collect()(0)
+          val (nAll, nIn) = (nst.getLong(0), nst.getLong(1))
+          val nodes = nodes0.select(col("node"))
           val regular = nOut == nAll && nIn == nAll
           val n = nAll
           def coPart(df: DataFrame): DataFrame =
@@ -167,8 +178,9 @@ object Extended22 {
             // AQE above it — ScopedConf.forLoopOf)
             graft.ScopedConf.forLoopOf(s, eCells) {
               if (regular) {
+                // no checkpoint on the seed: its lineage is one hop
+                // into the cached degree table
                 var r = deg.select(col("src").as("node"), lit(r0).as("r"))
-                  .localCheckpoint()
                 for (_ <- 1 to iters)
                   r = rankJoin(r)
                     .select(col("dst").as("node"),
@@ -198,8 +210,8 @@ object Extended22 {
               }
             }
           } finally { adj.unpersist(); flat.foreach(_.unpersist()) }
-        } finally nodes.unpersist()
-      } finally heads.unpersist()
+        } finally nodes0.unpersist()
+      }
     } finally deg.unpersist()
   }
 
