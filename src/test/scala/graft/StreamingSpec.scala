@@ -247,6 +247,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows <= 2L, s"idle-key state not drained: $stateRows rows")
   }
 
+  /** Property form of the held-mode contract: on a SEEDED random
+    * corpus delivered in a random-but-admissible order (local shuffle
+    * with ts inversions bounded below the 15 s delay, so no event is
+    * ever dropped as too-late), every emitted sum must equal the
+    * batch RANGE-window truth over the full corpus, and exactly the
+    * events the final watermark never passes stay withheld. The
+    * authored cases above pin specific shapes; this pins the CLASS.
+    */
+  test("held emission is batch-exact on a seeded random in-delay arrival order") {
+    import java.nio.file.Files
+    val rnd = new scala.util.Random(20260813)
+    // ts-ordered events with random 0-4 s gaps over 4 keys
+    var ts = 100L
+    val events = (1 to 60).map { id =>
+      ts += rnd.nextInt(5)
+      (id.toLong, ts, (rnd.nextInt(4) + 1).toLong, (rnd.nextInt(800) + 1) / 100.0)
+    }
+    // admissible disorder: shuffle within a 3-position window → ts
+    // inversion ≤ 12 s < 15 s delay
+    val order = events.grouped(3).flatMap(g => rnd.shuffle(g)).toSeq
+    val batches = order.grouped(10).toSeq
+    val dir = Files.createTempDirectory("graft_held_prop").toFile
+    dir.deleteOnExit()
+    batches.zipWithIndex.foreach { case (rows, i) => writeBatchFile(dir, i, rows) }
+    val src = eventsFileStream(dir)
+    val out = graft.streaming.StreamingQueries.rangeStateTransformHeld(spark, src)
+    val name = s"held_prop_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    val got = spark.table(name).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("pay_amount"))
+      .toMap
+    spark.catalog.dropTempView(name)
+    // batch truth over the FULL corpus (exact-decimal sums)
+    def d2(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    val truth = events.map { case (id, t, k, _) =>
+      id -> events.filter { case (_, t2, k2, _) =>
+        k2 == k && t2 >= t - 10 && t2 <= t }
+        .map(e => d2(e._4)).reduce(_ add _).doubleValue
+    }.toMap
+    val maxTs = events.map(_._2).max
+    val expectEmitted = events.filter(_._2 <= maxTs - 15).map(_._1).toSet
+    assert(got.keySet === expectEmitted,
+      s"emitted set != watermark-passed set (maxTs=$maxTs)")
+    got.foreach { case (id, v) =>
+      assert(v === truth(id), s"event $id: got $v want ${truth(id)}") }
+  }
+
   test("q29 transform recovers exactly-once from checkpoint on RocksDB state store") {
     import java.nio.file.Files
     // The production state path: durable checkpoint + RocksDB state
