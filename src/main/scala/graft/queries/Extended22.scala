@@ -81,10 +81,19 @@ object Extended22 {
     * compilation amortizes over billions of cells). All persisted
     * intermediates are unpersisted before returning.
     */
+  /** `assumeRegular = true` skips the in/out-coverage census (a
+    * 2E-row tagged shuffle) for graphs that are regular BY
+    * CONSTRUCTION — e.g. any symmetrized edge list, where both
+    * directions of every pair are emitted so srcSet ≡ dstSet.
+    * Callers without that structural guarantee keep the default: the
+    * census selects the dangling-mass recurrence when the graph has
+    * sinks or sourceless nodes (silently-wrong ranks otherwise).
+    */
   def integerPageRank(edges: DataFrame, iters: Int,
       scaleUnit: Long = 1000000000000L,
       broadcastMaxNodes: Long = 4L << 20,
-      maxAdjArray: Long = 1L << 20): DataFrame = {
+      maxAdjArray: Long = 1L << 20,
+      assumeRegular: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = edges.sparkSession
     // out-degree census first: it drives the head split, the
@@ -112,16 +121,23 @@ object Extended22 {
       locally {
         // in/out coverage in ONE shuffle: tag each endpoint role and
         // keep the max tag per node — nAll is the row count, nIn the
-        // tagged sum (replaces two separate distinct-count shuffles)
-        val nodes0 = edges.select(col("src").as("node"), lit(0L).as("i"))
-          .union(edges.select(col("dst").as("node"), lit(1L).as("i")))
-          .groupBy(col("node")).agg(max(col("i")).as("has_in"))
-          .persist(MEMORY_AND_DISK)
+        // tagged sum (replaces two separate distinct-count shuffles).
+        // Skipped entirely under `assumeRegular` (nodes ≡ deg keys).
+        val nodes0 =
+          if (assumeRegular) None
+          else Some(edges.select(col("src").as("node"), lit(0L).as("i"))
+            .union(edges.select(col("dst").as("node"), lit(1L).as("i")))
+            .groupBy(col("node")).agg(max(col("i")).as("has_in"))
+            .persist(MEMORY_AND_DISK))
         try {
-          val nst = nodes0.agg(count(lit(1)),
-            coalesce(sum(col("has_in")), lit(0L))).collect()(0)
-          val (nAll, nIn) = (nst.getLong(0), nst.getLong(1))
-          val nodes = nodes0.select(col("node"))
+          val (nAll, nIn) = nodes0 match {
+            case None => (nOut, nOut)
+            case Some(n0) =>
+              val nst = n0.agg(count(lit(1)),
+                coalesce(sum(col("has_in")), lit(0L))).collect()(0)
+              (nst.getLong(0), nst.getLong(1))
+          }
+          def nodes = nodes0.get.select(col("node")) // general path only
           val regular = nOut == nAll && nIn == nAll
           val n = nAll
           def coPart(df: DataFrame): DataFrame =
@@ -210,7 +226,7 @@ object Extended22 {
               }
             }
           } finally { adj.unpersist(); flat.foreach(_.unpersist()) }
-        } finally nodes0.unpersist()
+        } finally nodes0.foreach(_.unpersist())
       }
     } finally deg.unpersist()
   }
@@ -236,7 +252,10 @@ object Extended22 {
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    integerPageRank(e, iters = 5)
+    // the double-explode emits BOTH directions of every co-purchase
+    // pair, so srcSet ≡ dstSet structurally — the regularity census
+    // would be a 2E-row shuffle spent proving a construction invariant
+    integerPageRank(e, iters = 5, assumeRegular = true)
       .orderBy(col("r").desc, col("node"))
       .limit(20)
       .select(col("node").as("part"), col("r").as("pr"))

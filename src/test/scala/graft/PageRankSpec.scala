@@ -137,6 +137,13 @@ class PageRankSpec extends AnyFunSuite {
       s"guarded path must broadcast the rank table:\n${joins.head}")
   }
 
+  test("assumeRegular skips the census without changing regular-graph ranks") {
+    val got = Extended22.integerPageRank(edges.toDF("src", "dst"),
+        iters = 5, assumeRegular = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive(edges, 5))
+  }
+
   test("head-node hybrid layout: forced flat split reproduces exact ranks") {
     // maxAdjArray=2 makes the star hub (degree 4) a head node while
     // the spokes/triangle (degree ≤ 2) stay on the array layout —
