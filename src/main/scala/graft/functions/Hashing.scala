@@ -56,6 +56,22 @@ object Hashing {
       .filter(col("sig").isNotNull)
   }
 
+  /** As [[minHashSignatures]], additionally carrying `hs` — the
+    * sorted distinct 64-bit shingle-hash array, the canonical
+    * content encoding — so callers can derive exact-content hashes
+    * (q37's (n, h1, h2) shortcut) in the SAME map-side projection
+    * instead of a second pass or a join.
+    */
+  def minHashSignaturesWithContent(df: DataFrame, idCol: String,
+      shinglesCol: String, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    df.select(col(idCol),
+        GraftSqlBridge.column(
+          MinHashSig(GraftSqlBridge.expression(col(shinglesCol)), k)).as("sig"),
+        array_sort(array_distinct(shingleHashes(col(shinglesCol)))).as("hs"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** SimHash codes as a DataFrame stage: (id, shingles array) →
     * (id, simhash long). Same shape as [[minHashSignatures]]: one
     * native per-row expression ([[SimHashSig]]), map-side, no shuffle.

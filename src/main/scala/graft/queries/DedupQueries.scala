@@ -227,24 +227,51 @@ object DedupQueries {
     // silently drop. The exact key space is UNCAPPED: identical full
     // signatures ⇒ the expansion is output-sized, not a blowup; the
     // capped band buckets keep bounding the probabilistic candidates.
-    val keyed = Hashing.minHashSignatures(sh, "doc_id", "shingles", 128)
-      .select(col("doc_id"),
+    // Each member also ships q37's compact content signature
+    // (n, h1, h2 of the sorted shingle-hash array): pairs with equal
+    // content hashes have equal shingle SETS (2^-128 collision odds)
+    // ⇒ Jaccard exactly 1.0 with NO fetch — on a duplicate-flooded
+    // corpus this short-circuits nearly every candidate (×150
+    // measured: q35 verify was fetching 5.6M identical pairs, 37.8 s
+    // vs q37's 8.2 s on the same corpus).
+    val keyed = Hashing.minHashSignaturesWithContent(sh, "doc_id",
+        "shingles", 128)
+      .select(struct(col("doc_id"),
+          size(col("hs")).as("n"),
+          xxhash64(col("hs")).as("h1"),
+          xxhash64(lit("s2"), col("hs")).as("h2")).as("m"),
         posexplode(concat(
           Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
           array(xxhash64(lit("exact-sig"), col("sig")))))
           .as(Seq("band", "key")))
     val buckets = keyed
-      .groupBy("band", "key").agg(collect_list("doc_id").as("ids"))
+      .groupBy("band", "key").agg(collect_list("m").as("members"))
+      .filter(size(col("members")) >= 2)
       .localCheckpoint()
-    val cands = bucketPairs(buckets.filter(col("band") < 16))
-      .union(bucketPairs(buckets.filter(col("band") === 16),
-        cap = Int.MaxValue))
+    def expand(b: DataFrame, cap: Int): DataFrame = b
+      .filter(size(col("members")) <= cap)
+      // spread the quadratic pair expansion (cf. bucketPairs)
+      .repartition(b.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2")).as("exact"))
+    val pairs = expand(buckets.filter(col("band") < 16), MaxBucket)
+      .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
       .distinct()
-    attachFeaturesBy(cands,
+      // feeds two consumers (shortcut + verify): materialize once
+      .localCheckpoint()
+    val exactPairs = pairs.filter(col("exact"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    val verified = attachFeaturesBy(
+      pairs.filter(!col("exact")).select(col("a"), col("b")),
       ids => shingle2Of(raw.join(broadcast(ids), "doc_id")),
       "doc_id", "shingles")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    exactPairs.union(verified)
   }
 
   private def q35(s0: SparkSession, dir: String): DataFrame =
