@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * Only valid around code whose Spark actions all run INSIDE `body`
   * (the loops checkpoint eagerly each round); a lazily returned plan
   * would be planned after restore, outside the scope.
+  *
+  * SINGLE-THREADED SESSION ASSUMPTION: the override mutates
+  * session-global SQL confs for the duration of `body` — any query
+  * planned CONCURRENTLY on the same SparkSession (a parallel bench
+  * thread, a streaming micro-batch) would silently plan with
+  * codegen/AQE off, and nested scopes on different threads restore
+  * stale values. Every caller in this repo runs its loop on the one
+  * driver thread of a dedicated/child session; if concurrent use is
+  * ever needed, isolate via `SparkSession.cloneSession()` (confs are
+  * per-session) instead of widening this scope.
   */
 object ScopedConf {
   def withConf[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
@@ -53,9 +63,21 @@ object ScopedConf {
     * (JIT-throttled) environments. Override with
     * SPARK_GRAFT_TINY_LOOP_ROWS for deployment-shaped tuning.
     */
-  val TinyLoopRows: Long =
-    sys.env.get("SPARK_GRAFT_TINY_LOOP_ROWS").map(_.toLong)
-      .getOrElse(100L * 1000 * 1000)
+  val TinyLoopRows: Long = {
+    val default = 100L * 1000 * 1000
+    sys.env.get("SPARK_GRAFT_TINY_LOOP_ROWS") match {
+      case None => default
+      case Some(v) => v.trim.toLongOption.getOrElse {
+        // a malformed value must not surface as an opaque
+        // ExceptionInInitializerError at first ScopedConf use —
+        // warn with the env var named and keep the default
+        System.err.println(
+          s"[graft] SPARK_GRAFT_TINY_LOOP_ROWS='$v' is not a long; " +
+            s"using default $default")
+        default
+      }
+    }
+  }
 
   /** Size-aware loop scope: tiny profile under [[TinyLoopRows]]
     * per-round rows, session defaults (codegen + AQE) above.

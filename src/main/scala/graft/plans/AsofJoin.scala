@@ -177,6 +177,15 @@ object AsofJoin {
     require(prefClash.isEmpty,
       s"asofNearest: left column(s) ${prefClash.mkString(", ")} collide " +
         "with the internal __b_/__f_ payload prefixes")
+    // intra-payload collisions are just as corrupting: with payload
+    // columns `x` AND `__b_x`, renaming `x` -> `__b_x` creates a
+    // duplicate that the subsequent `__b_x` rename then hits twice
+    val intraClash = payload.flatMap(c => Seq("__b_" + c, "__f_" + c))
+      .intersect(payload)
+    require(intraClash.isEmpty,
+      s"asofNearest: right payload column(s) ${intraClash.mkString(", ")} " +
+        "collide with the internal __b_/__f_ prefix of another payload " +
+        "column — rename before joining")
     def tagged(df: DataFrame, tag: String): DataFrame =
       payload.foldLeft(df)((d, c) => d.withColumnRenamed(c, tag + c))
     val b = tagged(asof(left, right, key, leftTime, rightTime, toleranceUs), "__b_")
