@@ -1,0 +1,51 @@
+package graft
+
+/** Per-stage wall/CPU attribution for the iterative loops.
+  *
+  * BENCH_r07's residue finding: q133/q102 cost 2-3× their builder-side
+  * numbers on a CLEAN driver host, all fixed cost — but the bench only
+  * records per-QUERY totals, so "which round / which build stage" was
+  * unattributable. The loops (PageRank, connected components) and
+  * their build stages now wrap each unit of work in [[timed]]; the
+  * bench drains the buffer after every query and emits the stage list
+  * into `bench_out.json` (`"stages"`), so a slow query decomposes into
+  * named (wall, cpu) pairs instead of one opaque number.
+  *
+  * CPU is process-wide (the loops are single-threaded driver-side by
+  * design — see [[ScopedConf]]'s session assumption), so a stage's cpu
+  * ≫ wall×1 means executor-side work, cpu ≈ wall means driver-bound,
+  * wall ≫ cpu means off-JVM (host contention / IO).
+  *
+  * Always on: one MXBean read + queue append per ROUND (not per row),
+  * invisible next to a Spark job launch.
+  */
+object RoundStats {
+  final case class Stage(tag: String, wallS: Double, cpuS: Double)
+
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedQueue[Stage]()
+
+  private def procCpu(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  def timed[T](tag: String)(body: => T): T = {
+    val c0 = procCpu()
+    val t0 = System.nanoTime()
+    val r = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val c1 = procCpu()
+    buf.add(Stage(tag, wall, if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else -1.0))
+    r
+  }
+
+  /** Remove and return everything recorded since the last drain. */
+  def drain(): Seq[Stage] = {
+    val out = scala.collection.mutable.ArrayBuffer[Stage]()
+    var e = buf.poll()
+    while (e != null) { out += e; e = buf.poll() }
+    out.toSeq
+  }
+}

@@ -68,25 +68,49 @@ object ConnectedComponents {
       var labels = nbr.select(col("id")).distinct()
         .select(col("id"), col("id").as("lbl")).localCheckpoint()
       val lblType = labels.schema("lbl").dataType
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < maxRounds) {
-        val obs = Observation()
+      // one un-observed propagation step: neighbours' labels union the
+      // node's own, min per id — used as the FIRST half of a fused
+      // round (no change accounting needed mid-fusion)
+      def step(l: DataFrame): DataFrame = nbr
+        .join(l.select(col("id").as("nb"), col("lbl")), "nb")
+        .select(col("id"), col("lbl"))
+        .union(l.select(col("id"), col("lbl")))
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+      // the observed step carries ITS input's label through the
+      // aggregation, so "did anything change" rides the same job
+      def observedStep(l: DataFrame, obs: Observation): DataFrame = {
         val prop = nbr
-          .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
+          .join(l.select(col("id").as("nb"), col("lbl")), "nb")
           .select(col("id"), col("lbl"), lit(null).cast(lblType).as("prev"))
-        val next = labels
-          .select(col("id"), col("lbl"), col("lbl").as("prev"))
+        l.select(col("id"), col("lbl"), col("lbl").as("prev"))
           .union(prop)
           .groupBy("id")
           .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
           .observe(obs, coalesce(sum(when(col("lbl") =!= col("prev"), 1L)
             .otherwise(0L)), lit(0L)).as("changed"))
           .select(col("id"), col("lbl"))
-          .localCheckpoint()
+      }
+      var changed = 1L
+      var rounds = 0
+      // TWO propagation steps per action (r8, the BENCH_r07 residue
+      // fix): each checkpoint/job carries a fused step+observedStep
+      // plan — same shuffle volume in total, HALF the fixed per-action
+      // cost (job launch, plan analysis, checkpoint materialization)
+      // that dominates when per-round data is KB-sized. Convergence
+      // stays sound: the observe compares against the FUSED plan's
+      // midpoint, so changed == 0 still certifies a fixpoint (the
+      // second step changed nothing); at worst one extra step of work
+      // is done after the true fixpoint. `rounds` counts steps.
+      while (changed > 0 && rounds < maxRounds) {
+        val fuse = if (rounds + 2 <= maxRounds) 2 else 1
+        val obs = Observation()
+        val next = graft.RoundStats.timed(s"cc_minlabel_r${rounds + 1}x$fuse") {
+          val mid = if (fuse == 2) step(labels) else labels
+          observedStep(mid, obs).localCheckpoint()
+        }
         changed = obs.get("changed").asInstanceOf[Long]
         labels = next
-        rounds += 1
+        rounds += fuse
       }
       (labels, changed == 0L, rounds)
     }
@@ -165,14 +189,22 @@ object ConnectedComponents {
 
       var rounds = 0
       var fixed = false
+      // NOT fused: each star references its input ~4 times, so fusing
+      // k rounds grows the un-materialized plan tree ~4^k — the
+      // per-round checkpoint is what keeps this path's plans linear
       while (!fixed && rounds < maxRounds) {
-        val (next, nextSig) = checkpointed(smallStar(largeStar(edges)))
+        val (next, nextSig) = graft.RoundStats.timed(s"cc_star_r${rounds + 1}") {
+          checkpointed(smallStar(largeStar(edges)))
+        }
         fixed = nextSig == sig
         sig = nextSig
         edges = next
         rounds += 1
       }
-      assert(fixed, s"large-star/small-star did not converge in $maxRounds rounds")
+      // explicit throw, not `assert`: under -Xdisable-assertions an
+      // assert vanishes and non-convergence would return partial labels
+      if (!fixed) throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxRounds rounds")
       // star forest: every child appears once with its component min;
       // roots (= the minima) label themselves
       edges.select(col("b").as("id"), col("a").as("lbl"))

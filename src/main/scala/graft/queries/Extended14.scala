@@ -51,8 +51,13 @@ object Extended14 {
 
   private[queries] def clusterLabels(s0: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate(dir, {
-      val pairs = DedupQueries.nearDupPairs(s0, dir)
-        .select(col("a"), col("b")).localCheckpoint()
+      // the pair pipeline and the label loop are attributed separately
+      // in the bench's stage dump (the r7 residue question was "which
+      // half of q102 is the fixed cost")
+      val pairs = graft.RoundStats.timed("q102_pairs") {
+        DedupQueries.nearDupPairs(s0, dir)
+          .select(col("a"), col("b")).localCheckpoint()
+      }
       // The label loop iterates over the verified PAIR set — orders of
       // magnitude smaller than the corpus (it is the near-dup rate).
       // Its per-round shuffles would otherwise inherit the corpus-sized

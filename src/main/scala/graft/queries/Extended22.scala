@@ -89,13 +89,20 @@ object Extended22 {
     * census selects the dangling-mass recurrence when the graph has
     * sinks or sourceless nodes (silently-wrong ranks otherwise).
     */
-  def integerPageRank(edges: DataFrame, iters: Int,
+  def integerPageRank(edges0In: DataFrame, iters: Int,
       scaleUnit: Long = 1000000000000L,
       broadcastMaxNodes: Long = 4L << 20,
       maxAdjArray: Long = 1L << 20,
       assumeRegular: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val s = edges.sparkSession
+    val s = edges0In.sparkSession
+    // Persist the INPUT edge list: it is consumed by the degree
+    // census, the (optional) node census, the adjacency build and the
+    // head split — without the persist an expensive upstream edge
+    // derivation (q133's collect_set + double-explode + distinct over
+    // the fact table) re-executes per consumer (r8: this was a full
+    // second edge-generation pass inside the adjacency build).
+    val edges = edges0In.persist(MEMORY_AND_DISK)
     // out-degree census first: it drives the head split, the
     // regularity check, the edge-cell count, and the dangling test —
     // one edge-sized aggregation, reused everywhere.
@@ -109,9 +116,11 @@ object Extended22 {
       // pinned to one task, the q123 posting-list skew surface;
       // Σd = E bounds the head count by E/maxAdjArray, so the head
       // table is always broadcast-tiny).
-      val degStats = deg.agg(count(lit(1)),
-        coalesce(sum(col("d")), lit(0L)),
-        count(when(col("d") > maxAdjArray, 1))).collect()(0)
+      val degStats = graft.RoundStats.timed("pr_deg_census") {
+        deg.agg(count(lit(1)),
+          coalesce(sum(col("d")), lit(0L)),
+          count(when(col("d") > maxAdjArray, 1))).collect()(0)
+      }
       val (nOut, eCells, nHeads) =
         (degStats.getLong(0), degStats.getLong(1), degStats.getLong(2))
       require(nOut > 0, "pagerank needs a non-empty graph")
@@ -133,8 +142,10 @@ object Extended22 {
           val (nAll, nIn) = nodes0 match {
             case None => (nOut, nOut)
             case Some(n0) =>
-              val nst = n0.agg(count(lit(1)),
-                coalesce(sum(col("has_in")), lit(0L))).collect()(0)
+              val nst = graft.RoundStats.timed("pr_node_census") {
+                n0.agg(count(lit(1)),
+                  coalesce(sum(col("has_in")), lit(0L))).collect()(0)
+              }
               (nst.getLong(0), nst.getLong(1))
           }
           def nodes = nodes0.get.select(col("node")) // general path only
@@ -161,7 +172,9 @@ object Extended22 {
             else Some(edges.join(broadcast(heads), Seq("src"))
               .persist(MEMORY_AND_DISK))
           try {
-            adj.count(); flat.foreach(_.count())
+            graft.RoundStats.timed("pr_adj_build") {
+              adj.count(); flat.foreach(_.count())
+            }
             def rankJoin(r: DataFrame): DataFrame = {
               // past the guard, pin sort-merge: the checkpointed rank
               // table has no size stats, and a planner fallback to a
@@ -197,15 +210,37 @@ object Extended22 {
                 // no checkpoint on the seed: its lineage is one hop
                 // into the cached degree table
                 var r = deg.select(col("src").as("node"), lit(r0).as("r"))
-                for (_ <- 1 to iters)
-                  r = rankJoin(r)
+                def step(cur: DataFrame): DataFrame =
+                  rankJoin(cur)
                     .select(col("dst").as("node"),
                       (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
-                    .localCheckpoint()
+                // TWO recurrence steps per checkpoint (r8, the
+                // BENCH_r07 residue fix): the fused plan runs both
+                // rounds' shuffles inside ONE action — same data
+                // volume, half the job-launch/plan-analysis/checkpoint
+                // fixed cost that dominates when the per-round rank
+                // table is KB-sized. Sound to fuse here because the
+                // regular recurrence references its input rank table
+                // exactly ONCE per step (the rank join), so a fused
+                // plan stays linear in k; the general path below
+                // references r twice per step (dangling mass + join)
+                // and stays unfused.
+                var left = iters
+                var round = 0
+                while (left > 0) {
+                  val k = math.min(2, left)
+                  round += 1
+                  r = graft.RoundStats.timed(s"pr_round${round}x$k") {
+                    var cur = r
+                    for (_ <- 1 to k) cur = step(cur)
+                    cur.localCheckpoint()
+                  }
+                  left -= k
+                }
                 r
               } else {
                 var r = nodes.select(col("node"), lit(r0).as("r"))
-                for (_ <- 1 to iters) {
+                for (i <- 1 to iters) {
                   // dangling mass: rank parked on out-degree-0 nodes,
                   // shared uniformly — a 1-row aggregate broadcast into
                   // the same round job
@@ -213,14 +248,16 @@ object Extended22 {
                       Seq("node"), "left_anti")
                     .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
                     .select(expr(s"dm DIV ${n}L").as("share"))
-                  r = nodes
-                    .join(rankJoin(r).withColumnRenamed("dst", "node"),
-                      Seq("node"), "left")
-                    .crossJoin(broadcast(dang))
-                    .select(col("node"), (lit(base) +
-                      expr("(85 * (coalesce(in_mass, 0L) + share)) DIV 100"))
-                      .as("r"))
-                    .localCheckpoint()
+                  r = graft.RoundStats.timed(s"pr_general_r$i") {
+                    nodes
+                      .join(rankJoin(r).withColumnRenamed("dst", "node"),
+                        Seq("node"), "left")
+                      .crossJoin(broadcast(dang))
+                      .select(col("node"), (lit(base) +
+                        expr("(85 * (coalesce(in_mass, 0L) + share)) DIV 100"))
+                        .as("r"))
+                      .localCheckpoint()
+                  }
                 }
                 r
               }
@@ -228,7 +265,7 @@ object Extended22 {
           } finally { adj.unpersist(); flat.foreach(_.unpersist()) }
         } finally nodes0.foreach(_.unpersist())
       }
-    } finally deg.unpersist()
+    } finally { deg.unpersist(); edges.unpersist() }
   }
 
   // --------------------------------------------------------------- q133
@@ -251,7 +288,15 @@ object Extended22 {
       .select(explode(col("parts")).as("src"), col("parts"))
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      // dedup AFTER an explicit src-repartition instead of a plain
+      // distinct: same exchange count for the dedup itself, but the
+      // src hash-partitioning then SATISFIES every downstream
+      // clustered requirement — the degree census, the adjacency
+      // collect_list and the head split all group on src and run
+      // exchange-free over the persisted edge cache (r8; was two
+      // extra 2.4M-row shuffles at sf0.1)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
     // the double-explode emits BOTH directions of every co-purchase
     // pair, so srcSet ≡ dstSet structurally — the regularity census
     // would be a 2E-row shuffle spent proving a construction invariant
