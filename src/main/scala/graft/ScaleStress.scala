@@ -127,10 +127,10 @@ object ScaleStress {
     // verify stage sees only the non-exact remainder.
     cliqueCheck("q37_ngram_jaccard", want37)
 
-    // q102 at ×8: cluster structure over the replicated pair graph.
-    // Every base doc's 8 replicas are an exact-copy clique, so every
-    // connected component holds all 8 replicas of each base member —
-    // cluster sizes must be multiples of 8 (16+ where base-level
+    // q102 at ×R: cluster structure over the replicated pair graph.
+    // Every base doc's R replicas are an exact-copy clique, so every
+    // connected component holds all R replicas of each base member —
+    // cluster sizes must be multiples of R (2R+ where base-level
     // near-dups merge components), and the labeling must cover every
     // doc that appears in a pair.
     locally {
@@ -139,8 +139,11 @@ object ScaleStress {
           .localCheckpoint()
       }
       val nLabeled = labels.count()
+      // modulus is the REPLICATION FACTOR (was hardcoded 8 from the
+      // original ×8 harness: any correct ×70/×150 flood clustering
+      // "failed" because 70 and 140 are not multiples of 8)
       val badSizes = labels.select(col("cluster_size")).distinct()
-        .filter(col("cluster_size") % 8 =!= 0).count()
+        .filter(col("cluster_size") % rep =!= 0).count()
       val nClusters = labels.select(col("cluster_id")).distinct().count()
       println(f"[stress] q102 ×$rep: $nLabeled%,d docs in $nClusters%,d " +
         f"clusters in $secs%.1f s")
