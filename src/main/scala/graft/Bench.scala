@@ -129,6 +129,32 @@ object Bench {
       graft.queries.ConnectedComponents.labelsFor(
         half.select(col("src").as("a"), col("dst").as("b"))).count()
     }
+    // Streaming-machinery warmup (same one-off class): the micro-batch
+    // planner, FileStreamSource listing, state-store setup/commit, the
+    // stateful-agg and symmetric-hash stream-join operators otherwise
+    // JIT inside the FIRST stream queries in suite order — in the r7
+    // driver run the whole family ran 25-40% over its clean-host
+    // numbers. A 64-row slice of the real events table driven through
+    // the REAL q28 (windowed stateful agg) and q57 (stream-stream
+    // join) entry points warms both operator families sub-second and
+    // touches no timed query's inputs or caches. Try-wrapped: a
+    // warmup must never fail the bench.
+    scala.util.Try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_warm")
+      val sliceDir = tmp.resolve("slice")
+      spark.read.parquet(s"$sfDir/events.parquet").limit(64)
+        .coalesce(1).write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).iterator()
+      val it = new scala.collection.Iterator[java.nio.file.Path] {
+        def hasNext = part.hasNext; def next() = part.next()
+      }
+      it.find(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
+        java.nio.file.Files.copy(p, tmp.resolve("events.parquet"))
+        graft.streaming.StreamingQueries.q28(spark, tmp.toString).count()
+        graft.streaming.StreamingQueries.q57(spark, tmp.toString).count()
+      }
+    }.failed.foreach(e =>
+      System.err.println(s"[bench] stream warmup skipped: ${e.getMessage}"))
     val errors = scala.collection.mutable.Map[String, String]()
     val stat0 = procStat()
     val jvm0 = jvmStat()

@@ -65,7 +65,8 @@ object StreamingQueries {
     * watermark=...)` re-expressed (window_aggregation.py:33-52).
     */
   def jsonPaymentSource(s: SparkSession, lines: DataFrame,
-      allowedDelay: String = "15 seconds"): DataFrame = {
+      allowedDelay: String = "15 seconds",
+      declareWatermark: Boolean = true): DataFrame = {
     val schema = StructType(Seq(
       StructField("createTime", TimestampType),
       StructField("orderId", LongType),
@@ -80,7 +81,12 @@ object StreamingQueries {
       // it here so downstream watermarks/windows never see a null
       // event time — the dead-letter branch of a production pipeline.
       .filter(col("createTime").isNotNull)
-    if (decoded.isStreaming) decoded.withWatermark("createTime", allowedDelay)
+    // declareWatermark=false lets a downstream stateful transform own
+    // the (single) watermark declaration on this event-time lineage
+    // (KafkaPipeline.paymentRangeSum re-declares it on the renamed
+    // column with the same 15 s delay).
+    if (declareWatermark && decoded.isStreaming)
+      decoded.withWatermark("createTime", allowedDelay)
     else decoded
   }
 
