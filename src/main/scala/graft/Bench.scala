@@ -107,7 +107,16 @@ object Bench {
     // that touches them — q102, second in suite order, was carrying
     // the whole family's compile time in its score. 64 docs / a
     // 50-node graph keep each warmup sub-second.
-    locally {
+    // Warmups must never fail the bench: a throw here would abort
+    // main() before the query loop, losing the per-query errors map
+    // AND the parse-proof summary/artifact — the same failure inside
+    // a timed query is caught per-query. Each family warms
+    // independently; a skipped warmup costs its first timed query
+    // some JIT, nothing else.
+    def warm(tag: String)(body: => Unit): Unit =
+      scala.util.Try(body).failed.foreach(e =>
+        System.err.println(s"[bench] $tag warmup skipped: ${e.getMessage}"))
+    warm("dedup") {
       import org.apache.spark.sql.functions._
       // same child-session shape as the real dedup pipeline (AQE off —
       // the documented AQE/explicit-broadcast deadlock applies to the
@@ -119,7 +128,7 @@ object Bench {
         .limit(64).select(col("doc_id"), col("text"))
       graft.queries.DedupQueries.minHashPairs(docs).count()
     }
-    locally {
+    warm("loop") {
       import org.apache.spark.sql.functions._
       val half = spark.range(0, 200)
         .selectExpr("id % 50 AS src", "(id * 7 + 1) % 50 AS dst")
@@ -137,24 +146,19 @@ object Bench {
     // numbers. A 64-row slice of the real events table driven through
     // the REAL q28 (windowed stateful agg) and q57 (stream-stream
     // join) entry points warms both operator families sub-second and
-    // touches no timed query's inputs or caches. Try-wrapped: a
-    // warmup must never fail the bench.
-    scala.util.Try {
+    // touches no timed query's inputs or caches.
+    warm("stream") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_warm")
       val sliceDir = tmp.resolve("slice")
       spark.read.parquet(s"$sfDir/events.parquet").limit(64)
         .coalesce(1).write.parquet(sliceDir.toString)
-      val part = java.nio.file.Files.list(sliceDir).iterator()
-      val it = new scala.collection.Iterator[java.nio.file.Path] {
-        def hasNext = part.hasNext; def next() = part.next()
-      }
-      it.find(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
-        java.nio.file.Files.copy(p, tmp.resolve("events.parquet"))
-        graft.streaming.StreamingQueries.q28(spark, tmp.toString).count()
-        graft.streaming.StreamingQueries.q57(spark, tmp.toString).count()
-      }
-    }.failed.foreach(e =>
-      System.err.println(s"[bench] stream warmup skipped: ${e.getMessage}"))
+      sliceDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).foreach { p =>
+          java.nio.file.Files.copy(p.toPath, tmp.resolve("events.parquet"))
+          graft.streaming.StreamingQueries.q28(spark, tmp.toString).count()
+          graft.streaming.StreamingQueries.q57(spark, tmp.toString).count()
+        }
+    }
     val errors = scala.collection.mutable.Map[String, String]()
     val stat0 = procStat()
     val jvm0 = jvmStat()

@@ -100,11 +100,16 @@ object ConnectedComponents {
       // stays sound: the observe compares against the FUSED plan's
       // midpoint, so changed == 0 still certifies a fixpoint (the
       // second step changed nothing); at worst one extra step of work
-      // is done after the true fixpoint. `rounds` counts steps.
+      // is done after the true fixpoint. `rounds` counts steps; stage
+      // tags count ACTIONS (rNxK = Nth action running K fused steps),
+      // the same convention as PageRank's pr_roundNxK — a stages-map
+      // reader sees contiguous indices from both loops.
+      var action = 0
       while (changed > 0 && rounds < maxRounds) {
         val fuse = if (rounds + 2 <= maxRounds) 2 else 1
+        action += 1
         val obs = Observation()
-        val next = graft.RoundStats.timed(s"cc_minlabel_r${rounds + 1}x$fuse") {
+        val next = graft.RoundStats.timed(s"cc_minlabel_r${action}x$fuse") {
           val mid = if (fuse == 2) step(labels) else labels
           observedStep(mid, obs).localCheckpoint()
         }

@@ -219,16 +219,21 @@ object Extended22 {
                 // rounds' shuffles inside ONE action — same data
                 // volume, half the job-launch/plan-analysis/checkpoint
                 // fixed cost that dominates when the per-round rank
-                // table is KB-sized. Sound to fuse here because the
-                // regular recurrence references its input rank table
-                // exactly ONCE per step (the rank join), so a fused
-                // plan stays linear in k; the general path below
-                // references r twice per step (dangling mass + join)
-                // and stays unfused.
+                // table is KB-sized. Fusing is sound only when the
+                // recurrence references its input rank table exactly
+                // ONCE per step — true iff the head split is INACTIVE:
+                // with heads, rankJoin reads r twice (the array join
+                // AND the broadcast head slice), so a fused second
+                // step would embed the first step's un-checkpointed
+                // plan twice — the same 2^k growth the unfused star
+                // path avoids. The general path below also references
+                // r twice per step (dangling mass + join) and stays
+                // unfused.
+                val fuseK = if (nHeads == 0) 2 else 1
                 var left = iters
                 var round = 0
                 while (left > 0) {
-                  val k = math.min(2, left)
+                  val k = math.min(fuseK, left)
                   round += 1
                   r = graft.RoundStats.timed(s"pr_round${round}x$k") {
                     var cur = r
@@ -288,14 +293,21 @@ object Extended22 {
       .select(explode(col("parts")).as("src"), col("parts"))
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      // dedup AFTER an explicit src-repartition instead of a plain
-      // distinct: same exchange count for the dedup itself, but the
-      // src hash-partitioning then SATISFIES every downstream
-      // clustered requirement — the degree census, the adjacency
-      // collect_list and the head split all group on src and run
-      // exchange-free over the persisted edge cache (r8; was two
-      // extra 2.4M-row shuffles at sf0.1)
-      .repartition(col("src"))
+      // dedup on the (src, dst) hash — deliberately NOT pre-clustered
+      // by src. An r8 variant repartitioned by src first so the
+      // degree census and adjacency build would run exchange-free
+      // over the edge cache, but that pins every node's FULL edge set
+      // (dedup hash table + cache partition) to one task — on a
+      // power-law graph a multi-million-degree hub becomes a
+      // straggler at every downstream stage, exactly the skew the
+      // head-split layout exists to avoid, and it bites BEFORE the
+      // split can help. The (src,dst)-hashed dedup stays balanced at
+      // any degree distribution; the census it feeds is skew-safe
+      // anyway (partial map-side aggregation collapses each partition
+      // to its distinct srcs), and the adjacency build's src shuffle
+      // is bounded per key by maxAdjArray once the heads are split
+      // out. Costs ~two edge-sized shuffles at sf0.1 vs the clustered
+      // variant; correct at 1000× the degree skew.
       .dropDuplicates("src", "dst")
     // the double-explode emits BOTH directions of every co-purchase
     // pair, so srcSet ≡ dstSet structurally — the regularity census
