@@ -161,6 +161,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(allFlat === naiveGeneral(sinkEdges, 3))
   }
 
+  test("step fusion is active only when the head split is empty") {
+    // Fusing two recurrence steps per action is sound only while the
+    // rank join reads its input ONCE; with heads active it reads it
+    // twice (array join + broadcast head slice), so a fused plan
+    // would embed the prior step twice. The stage tags expose the
+    // per-action step count (pr_roundNxK): headless regular graph →
+    // x2 actions; same graph with a forced head split → all x1.
+    graft.RoundStats.drain()
+    Extended22.integerPageRank(edges.toDF("src", "dst"), iters = 4)
+      .collect()
+    val fused = graft.RoundStats.drain().map(_.tag)
+      .filter(_.startsWith("pr_round"))
+    assert(fused === Seq("pr_round1x2", "pr_round2x2"),
+      s"headless regular loop should fuse 2 steps/action: $fused")
+    Extended22.integerPageRank(edges.toDF("src", "dst"), iters = 4,
+        maxAdjArray = 2L)
+      .collect()
+    val split = graft.RoundStats.drain().map(_.tag)
+      .filter(_.startsWith("pr_round"))
+    assert(split === Seq("pr_round1x1", "pr_round2x1", "pr_round3x1",
+      "pr_round4x1"),
+      s"head-split loop must stay unfused: $split")
+  }
+
   test("plan shape past the guard: sort-merge, no broadcast of the rank " +
     "table, and the same answer") {
     var result: Map[Long, Long] = Map.empty
