@@ -30,10 +30,12 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  // `what` carries "function: param" — the helper serves all five
+  // registered SQL functions, so the message must name the right one
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"srp_code: $what must be an integer literal, got $other")
+      s"$what must be an integer literal, got $other")
   }
 
   private[plans] val cosineSimDescriptor = (
@@ -46,14 +48,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SrpCode].getName, "srp_code"),
     (args: Seq[Expression]) => SrpCode(
       args.head,
-      intArg(args(1), "tables"),
-      intArg(args(2), "bits"),
-      if (args.length > 3) intArg(args(3), "seed").toLong else 0xA11CE5L))
+      intArg(args(1), "srp_code: tables"),
+      intArg(args(2), "srp_code: bits"),
+      if (args.length > 3) intArg(args(3), "srp_code: seed").toLong else 0xA11CE5L))
 
   private[plans] val minHashSigDescriptor = (
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-    (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "k")))
+    (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "minhash_sig: k")))
 
   private[plans] val simHashSigDescriptor = (
     FunctionIdentifier("simhash_sig"),
@@ -68,12 +70,12 @@ object GraftExtensions {
   private[plans] val wordNGramsDescriptor = (
     FunctionIdentifier("word_ngrams"),
     new ExpressionInfo(classOf[WordNGramsExpr].getName, "word_ngrams"),
-    (args: Seq[Expression]) => WordNGramsExpr(args.head, intArg(args(1), "n")))
+    (args: Seq[Expression]) => WordNGramsExpr(args.head, intArg(args(1), "word_ngrams: n")))
 
   private[plans] val bottomKSampleDescriptor = (
     FunctionIdentifier("bottomk_sample"),
     new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
-    (args: Seq[Expression]) => BottomKSample(args.head, intArg(args(1), "k")))
+    (args: Seq[Expression]) => BottomKSample(args.head, intArg(args(1), "bottomk_sample: k")))
 
   private[plans] val cmsEstimateDescriptor = (
     FunctionIdentifier("cms_estimate"),
@@ -86,23 +88,23 @@ object GraftExtensions {
       "cosine_sim", args => CosineSim(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "srp_code",
-      args => SrpCode(args.head, intArg(args(1), "tables"),
-        intArg(args(2), "bits"),
-        if (args.length > 3) intArg(args(3), "seed").toLong else 0xA11CE5L),
+      args => SrpCode(args.head, intArg(args(1), "srp_code: tables"),
+        intArg(args(2), "srp_code: bits"),
+        if (args.length > 3) intArg(args(3), "srp_code: seed").toLong else 0xA11CE5L),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      args => MinHashSig(args.head, intArg(args(1), "k")), "built-in")
+      args => MinHashSig(args.head, intArg(args(1), "minhash_sig: k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", args => SimHashSig(args.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokenize", args => TokenizeExpr(args.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams",
-      args => WordNGramsExpr(args.head, intArg(args(1), "n")), "built-in")
+      args => WordNGramsExpr(args.head, intArg(args(1), "word_ngrams: n")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottomk_sample",
-      args => BottomKSample(args.head, intArg(args(1), "k")), "built-in")
+      args => BottomKSample(args.head, intArg(args(1), "bottomk_sample: k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate", args => CmsEstimate(args(0), args(1)), "built-in")
   }

@@ -234,12 +234,15 @@ object DedupQueries {
     // corpus this short-circuits nearly every candidate (×150
     // measured: q35 verify was fetching 5.6M identical pairs, 37.8 s
     // vs q37's 8.2 s on the same corpus).
+    // `sk` (bottom-16 shingle hashes) rides in the member struct as
+    // the LEVEL-2 re-block key space — same shape as q37's sketch.
     val keyed = Hashing.minHashSignaturesWithContent(sh, "doc_id",
         "shingles", 128)
       .select(struct(col("doc_id"),
           size(col("hs")).as("n"),
           xxhash64(col("hs")).as("h1"),
-          xxhash64(lit("s2"), col("hs")).as("h2")).as("m"),
+          xxhash64(lit("s2"), col("hs")).as("h2"),
+          slice(col("hs"), 1, 16).as("sk")).as("m"),
         posexplode(concat(
           Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
           array(xxhash64(lit("exact-sig"), col("sig")))))
@@ -248,6 +251,32 @@ object DedupQueries {
       .groupBy("band", "key").agg(collect_list("m").as("members"))
       .filter(size(col("members")) >= 2)
       .localCheckpoint()
+    // Level 2 (q36/q37 parity, closing q35's last silent cap): a
+    // NEAR-dup clique larger than MaxBucket floods all 16 band
+    // buckets past the cap, and — unlike an exact clique — gets no
+    // help from the exact-signature key (its signatures differ per
+    // member). The DISTINCT overflow population (members of ANY
+    // oversized band bucket, deduped — one re-block, not 16 copies)
+    // is re-keyed on each member's bottom-4 shingle hashes: a J ≥ 0.5
+    // pair shares a bottom-slot key with P ≈ 1-(1-J)^4 ≥ 0.94, and
+    // band keys are independent of `sk`, so the sub-key space is
+    // fresh. Members whose sketch is shorter than 4 use the whole
+    // sketch (an empty-slice explode would silently eject them — the
+    // q37 short-doc hole, fixed there too). Sub-buckets are capped
+    // again and drops are published via observe, never silent.
+    val overflow = buckets
+      .filter(col("band") < 16 && size(col("members")) > MaxBucket)
+      .select(explode(col("members")).as("m"))
+      .distinct()
+    val reblocked = overflow
+      .select(col("m"), explode(slice(col("m.sk"), 1, 4)).as("subkey"))
+      .groupBy("subkey").agg(collect_list("m").as("members"))
+      .observe("minhash_reblock",
+        count(when(size(col("members")) > MaxBucket, 1))
+          .as("dropped_subbuckets"),
+        coalesce(sum(when(size(col("members")) > MaxBucket,
+          size(col("members")))), lit(0L)).as("dropped_members"))
+      .filter(size(col("members")).between(2, MaxBucket))
     def expand(b: DataFrame, cap: Int): DataFrame = b
       .filter(size(col("members")) <= cap)
       // spread the quadratic pair expansion (cf. bucketPairs)
@@ -259,6 +288,7 @@ object DedupQueries {
         (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
           col("x.h2") === col("y.h2")).as("exact"))
     val pairs = expand(buckets.filter(col("band") < 16), MaxBucket)
+      .union(expand(reblocked, MaxBucket))
       .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
       .distinct()
       // feeds two consumers (shortcut + verify): materialize once
@@ -561,8 +591,16 @@ object DedupQueries {
     val reblocked = buckets
       .filter(!col("isx") && size(col("members")) > MaxBucket)
       .select(col("minkey"), explode(col("members")).as("m"))
+      // Short-sketch fallback: slice(sk, 5, 4) of a ≤4-entry sketch
+      // is EMPTY and explode would silently eject the member from the
+      // re-block (a ≤4-gram doc stranded in a flooded bucket lost its
+      // near-dup pairs). Such a doc re-keys on its whole sketch
+      // instead — set ranks differ per doc, so a shared gram can sit
+      // in a partner's 5-8 slice while being within the short doc's
+      // bottom-4, and the pair still meets in a sub-bucket.
       .select(col("minkey"), col("m"),
-        explode(slice(col("m.sk"), 5, 4)).as("subkey"))
+        explode(when(size(col("m.sk")) >= 5, slice(col("m.sk"), 5, 4))
+          .otherwise(col("m.sk"))).as("subkey"))
       .groupBy("minkey", "subkey").agg(collect_list("m").as("members"))
       .filter(size(col("members")).between(2, MaxBucket))
     def expandSigPairs(b: DataFrame): DataFrame = b
@@ -626,6 +664,12 @@ object DedupQueries {
         .as(Seq("tbl", "code")))
     val buckets = coded
       .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
+      // drop singleton buckets BEFORE the checkpoint (cf. the ≥2
+      // filters in minHashPairs/gramJaccardPairs): the exact-emb key
+      // gives nearly every vector a unique bucket on a non-duplicated
+      // corpus, so an unfiltered checkpoint materializes a
+      // corpus-sized table the pair expansion immediately discards
+      .filter(size(col("ids")) >= 2)
       .localCheckpoint()
     bucketPairs(buckets.filter(col("tbl") < 8))
       .union(bucketPairs(buckets.filter(col("tbl") === 8),

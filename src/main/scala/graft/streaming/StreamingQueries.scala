@@ -114,9 +114,19 @@ object StreamingQueries {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt)
-            .getOrElse(math.min(4, prev.toInt)).toString)
+        // env hardening (cf. ScopedConf.TinyLoopRows): a malformed or
+        // non-positive override must not throw inside every stream
+        // drain — warn with the var named and keep the default
+        val cap = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+          .flatMap { v =>
+            val p = v.trim.toIntOption.filter(_ > 0)
+            if (p.isEmpty) System.err.println(
+              s"[graft] SPARK_GRAFT_STREAM_PARTITIONS='$v' is not a " +
+                "positive int; using the default stream cap")
+            p
+          }
+          .getOrElse(math.min(4, prev.toInt))
+        s.conf.set("spark.sql.shuffle.partitions", cap.toString)
         df.writeStream.outputMode(mode).format("memory")
           .queryName(name).start()
       } finally {
@@ -195,6 +205,22 @@ object StreamingQueries {
   val RangeWindowMicros = 10000000L  // 10 s, the reference interval
   val AllowedDelayMicros = 15000000L // 15 s, the reference watermark
 
+  /** Timestamp → epoch µs — the payload both range transforms and
+    * their oracles agree on (one definition; a drift between the two
+    * transforms would silently desynchronize them from the oracle).
+    */
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Exact-decimal cent rounding matching
+    * `CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)` on both engines
+    * of the oracle pair — shared by both emission modes.
+    */
+  private def d2(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+
   /** Source-agnostic core transform: any events-shaped stream
     * (event_id, ts timestamp, user_id, value) → per-event trailing
     * 10 s per-key sum.
@@ -209,16 +235,6 @@ object StreamingQueries {
       .withWatermark("ts", "15 seconds")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .as[(Long, Long, java.sql.Timestamp, Double)]
-    def micros(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
-
-    // Exact-decimal sum matching `CAST(SUM(CAST(v AS DECIMAL(18,2))) AS
-    // DOUBLE)` on both engines of the oracle pair.
-    def d2(v: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
-
     typed
       .groupByKey(_._2)
       .flatMapGroupsWithState[List[(Long, Long, Double)], (Long, Long, Long, Double)](
@@ -314,13 +330,6 @@ object StreamingQueries {
       .withWatermark("ts", "15 seconds")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .as[(Long, Long, java.sql.Timestamp, Double)]
-    def micros(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
-    def d2(v: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
-
     typed
       .groupByKey(_._2)
       .flatMapGroupsWithState[List[(Long, Long, Double, Boolean)],
@@ -381,10 +390,21 @@ object StreamingQueries {
             def after(ms: Long): Long = math.max(ms, wmMs + 1L)
             if (pending.nonEmpty) {
               state.update(keep)
-              // flush as soon as the watermark passes the oldest
-              // pending event (ms, +1 so "passed" is strict)
+              // Flush timer: ONE MS BELOW the oldest pending event's
+              // millisecond. Event-time timeouts fire only when the
+              // timer sits strictly BELOW the watermark, and the
+              // emission predicate (ts <= wm, the oracle's own
+              // cutoff) is satisfiable at wm == ts — arming at
+              // ts_ms + 1 parked the timer exactly ON the final
+              // watermark for an event AT it (ts = max - delay), so
+              // the key was never invoked and the event silently
+              // withheld (HeldBoundarySpec). At ts_ms - 1 the timer
+              // fires as soon as the watermark reaches the event's
+              // millisecond; a fire that lands before a sub-ms event
+              // is admissible emits nothing and re-arms here (the
+              // after() clamp keeps re-arms legal and advancing).
               state.setTimeoutTimestamp(
-                after(pending.map(_._2).min / 1000L + 1L))
+                after(pending.map(_._2).min / 1000L - 1L))
             } else if (keep.nonEmpty) {
               state.update(keep)
               // all emitted: the timer only garbage-collects — fire
@@ -432,7 +452,15 @@ object StreamingQueries {
     * an unbounded-state stream-stream join would be a non-starter at
     * scale. Oracle: the equivalent batch self-join.
     */
-  def q57(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scaffolding of the stream-stream join family (q57 inner,
+    * q98 left, q125 full): the watermarked click and purchase streams
+    * and the time-bounded join predicate are ONE definition — the
+    * watermark delay and the 24 h attribution window are semantic
+    * contracts shared with the batch oracles, and the three queries
+    * differ only in join type and projection.
+    */
+  private def clickPurchaseJoin(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val clicks = eventsStream(s, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -443,10 +471,15 @@ object StreamingQueries {
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "15 seconds")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       expr("""user_id = p_user_id AND
               purchase_ts >= click_ts AND
-              purchase_ts <= click_ts + interval 24 hours"""))
+              purchase_ts <= click_ts + interval 24 hours"""),
+      joinType)
+  }
+
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val joined = clickPurchaseJoin(s, dir, "inner")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
     runToSnapshot(s, joined, "q57_sink", OutputMode.Append)
@@ -467,21 +500,7 @@ object StreamingQueries {
     * retains ~(range + delay) of events.
     */
   def q98(s: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(s, dir)
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "15 seconds")
-    val purchases = eventsStream(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "15 seconds")
-    val joined = clicks.join(purchases,
-      expr("""user_id = p_user_id AND
-              purchase_ts >= click_ts AND
-              purchase_ts <= click_ts + interval 24 hours"""),
-      "left_outer")
+    val joined = clickPurchaseJoin(s, dir, "left_outer")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
     runToSnapshot(s, joined, "q98_sink", OutputMode.Append)
@@ -501,21 +520,7 @@ object StreamingQueries {
     * State bounds are the inner join's: each side ~(range + delay).
     */
   def q125(s: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(s, dir)
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "15 seconds")
-    val purchases = eventsStream(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "15 seconds")
-    val joined = clicks.join(purchases,
-      expr("""user_id = p_user_id AND
-              purchase_ts >= click_ts AND
-              purchase_ts <= click_ts + interval 24 hours"""),
-      "full_outer")
+    val joined = clickPurchaseJoin(s, dir, "full_outer")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("p_user_id"), col("click_ts"), col("purchase_ts"))
     // click_id IS null here (unmatched purchases) — pin null ordering

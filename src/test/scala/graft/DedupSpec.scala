@@ -124,6 +124,81 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
   }
 
+  /** Regression (r8 self-review): `slice(sk, 5, 4)` of a ≤4-entry
+    * sketch is EMPTY, so q37's level-2 re-block silently EJECTED
+    * short-sketch docs — a tiny near-dup pair whose every shared gram
+    * bucket is flooded lost its pair. The corpus: two 70-copy exact
+    * cliques flood buckets "x y z" and "y z p"; docs 1/2 (3 grams
+    * each, J = 2/4 = 0.5) share ONLY those two flooded keys, so the
+    * pair is recoverable exclusively through the re-block — which the
+    * pre-fix code dropped them from.
+    */
+  test("q37 level-2 fallback keeps short-sketch docs in the re-block") {
+    import spark.implicits._
+    val docs =
+      (0 until 70).map(i => (100L + i, "x y z aa bb")) ++
+        (0 until 70).map(i => (200L + i, "y z p cc dd")) ++
+        Seq((1L, "x y z p q"), (2L, "x y z p r"))
+    val pairs = graft.queries.DedupQueries
+      .gramJaccardPairs(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactCount = pairs.count(_._3 == 1.0)
+    assert(exactCount === 2 * (70 * 69 / 2),
+      s"both exact cliques must fully recover, got $exactCount")
+    assert(pairs.contains((1L, 2L, 0.5)),
+      "short-sketch near-dup pair stranded in flooded buckets was lost")
+    assert(pairs.length === exactCount + 1,
+      s"no other pair clears J >= 0.3: ${pairs.filterNot(_._3 == 1.0).toSeq}")
+  }
+
+  /** r8: q35 gains q36/q37's level-2 re-block + observe parity. A
+    * HOMOGENEOUS near-dup mega-clique (pairwise J ≈ 0.96, but no two
+    * docs byte-identical, so the exact-signature key is inert) floods
+    * its band buckets (dominant slice ≈ (49/50)^8 ≈ 85 of 100
+    * members) AND — sharing its bottom-4 shingle hashes — floods the
+    * level-2 sub-buckets too. The cap must drop those VISIBLY via the
+    * `minhash_reblock` observed metrics (the pre-r8 pipeline dropped
+    * the flooded band buckets silently, with no re-block at all), and
+    * everything that IS emitted must still verify at J ≥ 0.5.
+    */
+  test("q35 near-dup flood: capped sub-buckets are observed, not silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.QueryExecution
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    @volatile var metric: Option[org.apache.spark.sql.Row] = None
+    // the observe sits upstream of the pair checkpoint, so its metric
+    // surfaces on the CHECKPOINT action — capture via the listener a
+    // production pipeline would use
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("minhash_reblock")
+          .foreach(r => metric = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val common = (1 to 50).map(i => s"w$i").mkString(" ")
+      val docs = (0 until 100).map(i => (i.toLong, s"$common u$i"))
+        .toDF("doc_id", "text")
+      val pairs = graft.queries.DedupQueries.minHashPairs(docs).collect()
+      assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5),
+        "emitted pair below the verify threshold")
+      val deadline = System.nanoTime() + 10000000000L
+      while (metric.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(metric.isDefined, "minhash_reblock metric never observed")
+      assert(metric.get.getAs[Long]("dropped_subbuckets") >= 1L,
+        "homogeneous flood must report its dropped sub-buckets")
+      assert(metric.get.getAs[Long]("dropped_members") >= 65L)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
   test("q38 exact-embedding flood past the bucket cap keeps full pair recall") {
     import spark.implicits._
     val vec = Array.tabulate(16)(i => 0.25f * (i % 4))
