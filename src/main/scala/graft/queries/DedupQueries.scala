@@ -116,9 +116,9 @@ object DedupQueries {
     * r2/r3 bench bimodality).
     */
   private def attachFeatures(cands0: DataFrame, feats: DataFrame,
-      idCol: String, featCol: String): DataFrame =
+      idCol: String, featCol: String, tag: String = "dedup"): DataFrame =
     attachFeaturesBy(cands0, ids => feats.join(broadcast(ids), idCol),
-      idCol, featCol)
+      idCol, featCol, tag)
 
   /** Generalized verify fetch: `featsOf` receives the candidate-id set
     * and returns their (id, feature) rows. For COMPUTED features
@@ -131,12 +131,19 @@ object DedupQueries {
     */
   private def attachFeaturesBy(cands0: DataFrame,
       featsOf: DataFrame => DataFrame,
-      idCol: String, featCol: String): DataFrame = {
-    val cands = cands0.localCheckpoint()
-    val candIds = cands.select(col("a").as(idCol))
-      .union(cands.select(col("b").as(idCol)))
-      .distinct().localCheckpoint()
-    val pruned = featsOf(candIds).localCheckpoint()
+      idCol: String, featCol: String, tag: String = "dedup"): DataFrame = {
+    // Each materialization is a RoundStats stage (tagged per family):
+    // the r6/r7 driver runs inflated dedup queries 3-6× with no way to
+    // tell WHICH phase (blocking, candidate set, feature fetch) paid —
+    // the same attribution gap the loop stages closed for q133/q102.
+    val cands = graft.RoundStats.timed(s"${tag}_cands") {
+      cands0.localCheckpoint() }
+    val candIds = graft.RoundStats.timed(s"${tag}_ids") {
+      cands.select(col("a").as(idCol))
+        .union(cands.select(col("b").as(idCol)))
+        .distinct().localCheckpoint() }
+    val pruned = graft.RoundStats.timed(s"${tag}_fetch") {
+      featsOf(candIds).localCheckpoint() }
     cands
       .join(broadcast(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
       .join(broadcast(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
@@ -203,8 +210,8 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private[queries] def nearDupPairs(s0: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate(dir,
-      nearDupPairsUncached(s0, dir).localCheckpoint())
+    pairCache.getOrElseUpdate(dir, graft.RoundStats.timed("minhash_final") {
+      nearDupPairsUncached(s0, dir).localCheckpoint() })
 
   private def nearDupPairsUncached(s0: SparkSession, dir: String): DataFrame = {
     val s = dedupSession(s0)
@@ -247,10 +254,10 @@ object DedupQueries {
           Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
           array(xxhash64(lit("exact-sig"), col("sig")))))
           .as(Seq("band", "key")))
-    val buckets = keyed
+    val buckets = graft.RoundStats.timed("minhash_buckets") { keyed
       .groupBy("band", "key").agg(collect_list("m").as("members"))
       .filter(size(col("members")) >= 2)
-      .localCheckpoint()
+      .localCheckpoint() }
     // Level 2 (q36/q37 parity, closing q35's last silent cap): a
     // NEAR-dup clique larger than MaxBucket floods all 16 band
     // buckets past the cap, and — unlike an exact clique — gets no
@@ -287,18 +294,19 @@ object DedupQueries {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
           col("x.h2") === col("y.h2")).as("exact"))
-    val pairs = expand(buckets.filter(col("band") < 16), MaxBucket)
-      .union(expand(reblocked, MaxBucket))
-      .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
-      .distinct()
-      // feeds two consumers (shortcut + verify): materialize once
-      .localCheckpoint()
+    val pairs = graft.RoundStats.timed("minhash_expand") {
+      expand(buckets.filter(col("band") < 16), MaxBucket)
+        .union(expand(reblocked, MaxBucket))
+        .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
+        .distinct()
+        // feeds two consumers (shortcut + verify): materialize once
+        .localCheckpoint() }
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
       pairs.filter(!col("exact")).select(col("a"), col("b")),
       ids => shingle2Of(raw.join(broadcast(ids), "doc_id")),
-      "doc_id", "shingles")
+      "doc_id", "shingles", tag = "minhash")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
     exactPairs.union(verified)
@@ -346,14 +354,14 @@ object DedupQueries {
       maxHamming: Int = 7): DataFrame = {
     // `buckets` feeds BOTH level filters — materialize once so the
     // signature pipeline upstream isn't recomputed (cf. attachFeatures)
-    val buckets = docs
+    val buckets = graft.RoundStats.timed("simhash_buckets") { docs
       .select(col("doc_id"), col("sim"),
         posexplode(Hashing.simHashChunks(col("sim")))
           .as(Seq("chunk_idx", "chunk")))
       .groupBy("chunk_idx", "chunk")
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
       .filter(size(col("members")) >= 2)
-      .localCheckpoint()
+      .localCheckpoint() }
     val small = buckets.filter(size(col("members")) <= MaxBucket)
     val reblocked = buckets.filter(size(col("members")) > MaxBucket)
       .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
@@ -449,19 +457,20 @@ object DedupQueries {
     val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
       .select(col("doc_id"), col("simhash").as("sim"))
     // feeds three aggregates below — materialize the pair pipeline once
-    val pairs = simHashPairs(docs).localCheckpoint()
+    val pairs = graft.RoundStats.timed("simhash_pairs") {
+      simHashPairs(docs).localCheckpoint() }
     // Exact-dup pairs join on the (n, h1, h2) signature of the sorted
     // shingle set, not the set's JSON encoding: equal signatures ⇒
     // equal sets at 2^-128 collision odds (q37's documented pattern),
     // and the equi-join exchange ships 24-byte keys instead of
     // corpus-sized text — at ×8 the string self-join dominated the
     // contract view's cost.
-    val canon = shingled
+    val canon = graft.RoundStats.timed("simhash_canon") { shingled
       .select(col("doc_id"), array_sort(col("shingles")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"),
         xxhash64(col("sh")).as("h1"),
         xxhash64(lit("g2"), col("sh")).as("h2"))
-      .localCheckpoint()
+      .localCheckpoint() }
     val exactPairs = canon.select(col("doc_id").as("a"),
         col("n"), col("h1"), col("h2"))
       .join(canon.select(col("doc_id").as("b"),
@@ -575,10 +584,10 @@ object DedupQueries {
     // feeds all three branch filters — materialize once (cf.
     // simHashPairs); a min-key colliding with another doc's exact
     // hash just splits that bucket into its two roles, losing nothing
-    val buckets = keyed
+    val buckets = graft.RoundStats.timed("gram_buckets") { keyed
       .groupBy("minkey", "isx").agg(collect_list("m").as("members"))
       .filter(size(col("members")) >= 2)
-      .localCheckpoint()
+      .localCheckpoint() }
     val small = buckets.filter(!col("isx") &&
       size(col("members")) <= MaxBucket)
     val exactBuckets = buckets.filter(col("isx"))
@@ -627,19 +636,20 @@ object DedupQueries {
         (least(col("x.n"), col("y.n")).cast("double") /
             greatest(col("x.n"), col("y.n")).cast("double") >= 0.3)
           .as("plausible"))
-    val pairs = expandSigPairs(small)
-      .union(expandSigPairs(reblocked))
-      .union(expandSigPairs(exactBuckets))
-      .distinct()
-      // feeds two consumers (shortcut + verify): materialize once
-      .localCheckpoint()
+    val pairs = graft.RoundStats.timed("gram_expand") {
+      expandSigPairs(small)
+        .union(expandSigPairs(reblocked))
+        .union(expandSigPairs(exactBuckets))
+        .distinct()
+        // feeds two consumers (shortcut + verify): materialize once
+        .localCheckpoint() }
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val toVerify = pairs.filter(!col("exact") && col("plausible"))
       .select(col("a"), col("b"))
     val verified = attachFeaturesBy(toVerify,
       ids => gram3Of(raw.join(broadcast(ids), "doc_id")),
-      "doc_id", "grams")
+      "doc_id", "grams", tag = "gram")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
     exactPairs.union(verified)
@@ -662,7 +672,7 @@ object DedupQueries {
         Lsh.srpCodes(col("embedding"), tables = 8, bits = 8),
         array(xxhash64(lit("exact-emb"), col("embedding")))))
         .as(Seq("tbl", "code")))
-    val buckets = coded
+    val buckets = graft.RoundStats.timed("emb_buckets") { coded
       .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
       // drop singleton buckets BEFORE the checkpoint (cf. the ≥2
       // filters in minHashPairs/gramJaccardPairs): the exact-emb key
@@ -670,7 +680,7 @@ object DedupQueries {
       // corpus, so an unfiltered checkpoint materializes a
       // corpus-sized table the pair expansion immediately discards
       .filter(size(col("ids")) >= 2)
-      .localCheckpoint()
+      .localCheckpoint() }
     bucketPairs(buckets.filter(col("tbl") < 8))
       .union(bucketPairs(buckets.filter(col("tbl") === 8),
         cap = Int.MaxValue))
@@ -681,7 +691,7 @@ object DedupQueries {
     val s = dedupSession(s0)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cands = embeddingPairs(emb)
-    attachFeatures(cands, emb, "vec_id", "embedding")
+    attachFeatures(cands, emb, "vec_id", "embedding", tag = "emb")
       .select(col("a"), col("b"), CosineSim(col("f_a"), col("f_b")).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("a", "b")
