@@ -18,6 +18,13 @@ package graft
   *
   * Always on: one MXBean read + queue append per ROUND (not per row),
   * invisible next to a Spark job launch.
+  *
+  * Tags are FLAT, so nested [[timed]] scopes each record their own
+  * (wall, cpu) and the outer tag SUBSUMES its inner ones — e.g.
+  * `minhash_final` wraps the whole MinHash pair build, so it overlaps
+  * `minhash_buckets`/`minhash_expand`/`minhash_*` in the same drain.
+  * Do not sum a query's stage list; read outer tags as totals and
+  * inner tags as their decomposition.
   */
 object RoundStats {
   final case class Stage(tag: String, wallS: Double, cpuS: Double)
