@@ -46,15 +46,24 @@ object IvfAnn {
       // stable across runs/partitionings (unlike .sample at scale).
       val fitSample = emb
         .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
-      val model = new KMeans()
-        .setK(Cells).setSeed(7L).setFeaturesCol("features")
-        .setPredictionCol("cell")
-        .setMaxIter(8) // coarse quantizer: placement, not convergence
-        .fit(fitSample)
-      val assigned = model.transform(emb)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .persist()
-      assigned.count() // materialize once, off the query's critical path
+      // Each one-time index phase is a RoundStats stage (cf. the dedup
+      // family): q51's in-suite wall is ~all cold index build, and the
+      // bench stages map should say whether the k-means fit or the
+      // assignment scan paid it.
+      val model = graft.RoundStats.timed("ivf_fit") {
+        new KMeans()
+          .setK(Cells).setSeed(7L).setFeaturesCol("features")
+          .setPredictionCol("cell")
+          .setMaxIter(8) // coarse quantizer: placement, not convergence
+          .fit(fitSample)
+      }
+      val assigned = graft.RoundStats.timed("ivf_assign") {
+        val a = model.transform(emb)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .persist()
+        a.count() // materialize once, off the query's critical path
+        a
+      }
       (assigned, model.clusterCenters.map(_.toArray))
     })
 
