@@ -38,6 +38,14 @@ object RoundStats {
       case _ => -1L
     }
 
+  /** Record a pre-measured (or zero-cost marker) stage directly — for
+    * tags whose NAME carries information only known after the work ran
+    * (e.g. a stream drain's micro-batch count, `q28_drain_b5`), where
+    * [[timed]] can't be used because it fixes the tag up front.
+    */
+  def record(tag: String, wallS: Double, cpuS: Double): Unit =
+    buf.add(Stage(tag, wallS, cpuS))
+
   def timed[T](tag: String)(body: => T): T = {
     val c0 = procCpu()
     val t0 = System.nanoTime()

@@ -112,7 +112,13 @@ object StreamingQueries {
     // deployment sizes partitions to expected STATE volume; override
     // via SPARK_GRAFT_STREAM_PARTITIONS for deployment-shaped runs.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
+    // Stage attribution (cf. the dedup/loop families): the stream
+    // demos are the bench's last opaque walls. `<q>_start` is plan +
+    // source listing + state-store setup, `<q>_drain_bN` the actual
+    // micro-batch drain (N = batches run — a commit-bound query shows
+    // its batch count next to its wall), `<q>_snap` the sink snapshot
+    // + state-store unload.
+    val q = graft.RoundStats.timed(s"${prefix}_start") {
       try {
         // env hardening (cf. ScopedConf.TinyLoopRows): a malformed or
         // non-positive override must not throw inside every stream
@@ -132,14 +138,30 @@ object StreamingQueries {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
       }
+    }
     try {
+      val c0 = cpuNow()
+      val t0 = System.nanoTime()
       q.processAllAvailable()
+      val nb = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      graft.RoundStats.record(s"${prefix}_drain_b$nb",
+        (System.nanoTime() - t0) / 1e9,
+        cpuNow().map(c1 => c0.map(c => (c1 - c) / 1e9).getOrElse(-1.0))
+          .getOrElse(-1.0))
     } finally {
       q.stop()
       q.awaitTermination()
     }
-    materializeAndDrop(s, name)
+    graft.RoundStats.timed(s"${prefix}_snap") {
+      materializeAndDrop(s, name) }
   }
+
+  private def cpuNow(): Option[Long] =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        Some(os.getProcessCpuTime)
+      case _ => None
+    }
 
   /** Snapshot a memory-sink table into a local DataFrame and drop the
     * temp view, so finished streaming queries leave no session state
