@@ -497,10 +497,16 @@ object DedupQueries {
       coalesce(expr("bool_and(hamming <= 7)"), lit(true))
         .as("hamming_bound_ok"),
       coalesce(expr("bool_and(a < b)"), lit(true)).as("ordering_ok"))
-    nExact.crossJoin(missed).crossJoin(bounds)
-      .select(col("n_exact_dup_pairs"),
-        (col("n_missed") === 0).as("exact_recall_ok"),
-        col("hamming_bound_ok"), col("ordering_ok"))
+    // cf. gram_final/emb_final: the contract view's three aggregates
+    // (exact-signature self-join, anti-join recall probe, bounds scan)
+    // are the query's last compute — stamp them as their own stage so
+    // q36's stages map covers its wall (1-row result; cost-free).
+    finalStage("simhash_final") {
+      nExact.crossJoin(missed).crossJoin(bounds)
+        .select(col("n_exact_dup_pairs"),
+          (col("n_missed") === 0).as("exact_recall_ok"),
+          col("hamming_bound_ok"), col("ordering_ok"))
+    }
   }
 
   private val q36Sql =
