@@ -50,5 +50,24 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** `embeddings.embedding` is probed like `events.ts`: the native
+    * vector kernels (CosineSim, SrpCode) read FLOAT elements, and
+    * `ArrayData.getFloat` on a double-backed array returns garbage
+    * WITHOUT throwing — if a future regeneration ships
+    * `array<double>`, silently-wrong similarities everywhere. Cast
+    * down at the source instead: queries keep running, and any
+    * low-order-bit oracle drift is a visible, attributable gate
+    * failure rather than corruption.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding",
+          col("embedding").cast(ArrayType(FloatType)))
+      case _ => raw
+    }
+  }
 }

@@ -22,6 +22,31 @@ class AnnSpec extends AnyFunSuite {
     assert(got(3).isNullAt(0)) // zero-norm → null
   }
 
+  /** The loader must probe the stored element type: `ArrayData
+    * .getFloat` over a double-backed array returns garbage WITHOUT
+    * throwing, so an `array<double>` regeneration (the testdata has
+    * changed layout twice in round 8 alone) would silently corrupt
+    * every similarity. The probe casts down at the source.
+    */
+  test("Tables.embeddings adapts an array<double> layout to the float kernels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_probe")
+    Seq((0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(dir.resolve("embeddings.parquet").toString)
+    val emb = Tables.embeddings(spark, dir.toString)
+    assert(emb.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val cos = emb.as("x").join(emb.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        CosineSim(col("x.embedding"), col("y.embedding")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(cos((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((0L, 2L)) - 0.0) < 1e-12)
+  }
+
   /** In-memory exact top-k (ground truth). */
   private lazy val bruteTopK: Map[Long, Seq[Long]] = {
     val vecs = Tables.embeddings(spark, sf)
