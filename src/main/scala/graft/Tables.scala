@@ -35,12 +35,39 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case LongType =>
+        // An int64 ts could be epoch-NANOS (TIMESTAMP(NANOS) read via
+        // the legacy flag — rounds 1-6) or a plain epoch-MICROS int64
+        // (never shipped yet, but the layout has changed three times);
+        // `DIV 1000` on micros would be silently 1000× off (1970-01
+        // timestamps). Disambiguate by magnitude on ONE sampled row
+        // (early-terminating single-row-group read, memoized per dir):
+        // modern epochs are ~1.7e18 ns vs ~1.7e15 µs; the 1e17 cut
+        // is year ~5138 in µs and ~1973 in ns — unambiguous for any
+        // post-1973 synthetic corpus.
+        raw.withColumn("ts", timestamp_micros(
+          expr(s"ts DIV ${int64TsDivisor(raw, s"$dir/events.parquet")}")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
+
+  private val tsUnitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** The DIV-to-µs divisor for an int64 `ts` column of the batch frame
+    * `raw` (see the magnitude rationale above). Shared with the
+    * streaming loader so both read the identical instants; memoized
+    * per file path (one single-row probe per JVM per path).
+    */
+  private[graft] def int64TsDivisor(raw: DataFrame, path: String): Long =
+    tsUnitCache.getOrElseUpdate(path, {
+      val sample = raw.select(col("ts")).limit(1).collect()
+      if (sample.isEmpty || math.abs(sample(0).getLong(0)) > 1e17.toLong)
+        1000L
+      else 1L
+    })
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")

@@ -30,7 +30,8 @@ object StreamingQueries {
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stored = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val batchRaw = s.read.parquet(s"$dir/events.parquet")
+    val stored = batchRaw.schema("ts").dataType
     // Watermarks demand TIMESTAMP (local-tz): declare it for either
     // stored timestamp flavor — the file's µs payload is read as the
     // same instant (session tz is UTC everywhere in this engine, so
@@ -53,8 +54,12 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
     declaredTs match {
-      case LongType => // int64 nanos layout: truncate to micros
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case LongType =>
+        // int64 layout: ns-vs-µs disambiguated by the same memoized
+        // magnitude probe the batch loader uses (Tables.events), so
+        // stream and batch read the identical instants.
+        raw.withColumn("ts", timestamp_micros(expr(s"ts DIV ${
+          graft.Tables.int64TsDivisor(batchRaw, s"$dir/events.parquet")}")))
       case _ => raw
     }
   }

@@ -68,6 +68,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  /** Layout defense (the events.ts type changed three times across
+    * rounds): an int64 ts may be epoch-NANOS (the legacy layout) or
+    * epoch-MICROS — `DIV 1000` on micros would be silently 1000× off
+    * (1970-01 timestamps, the exact symptom the verify skill warns
+    * about). The loader disambiguates by magnitude on one sampled row;
+    * both flavors must load to the SAME instant.
+    */
+  test("events loader disambiguates int64 ns vs µs by magnitude") {
+    import spark.implicits._
+    val instantUs = 1700000000000000L // 2023-11-14T22:13:20 in µs
+    def write(unit: Long): String = {
+      val d = Files.createTempDirectory(s"graft_ts_$unit")
+      Seq((1L, instantUs * unit, 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(d.resolve("events.parquet").toString)
+      d.toString
+    }
+    val fromNs = Tables.events(spark, write(1000L))
+      .select(unix_micros(col("ts"))).head.getLong(0)
+    val fromUs = Tables.events(spark, write(1L))
+      .select(unix_micros(col("ts"))).head.getLong(0)
+    assert(fromNs === instantUs, "ns layout mis-scaled")
+    assert(fromUs === instantUs, "µs layout mis-scaled")
+  }
+
   test("zValue interleaves bits exactly (Morton order)") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
