@@ -1,15 +1,20 @@
 package graft
 
-/** Per-stage wall/CPU attribution for the iterative loops.
+/** Per-stage wall/CPU attribution for every multi-phase query.
   *
   * BENCH_r07's residue finding: q133/q102 cost 2-3× their builder-side
   * numbers on a CLEAN driver host, all fixed cost — but the bench only
   * records per-QUERY totals, so "which round / which build stage" was
-  * unattributable. The loops (PageRank, connected components) and
-  * their build stages now wrap each unit of work in [[timed]]; the
-  * bench drains the buffer after every query and emits the stage list
-  * into `bench_out.json` (`"stages"`), so a slow query decomposes into
-  * named (wall, cpu) pairs instead of one opaque number.
+  * unattributable. Four families now wrap each unit of work in
+  * [[timed]] (or [[record]]): the iterative loops (PageRank rounds,
+  * CC rounds, graph census/adjacency builds), the dedup pipelines
+  * (blocking / expand / candidate / fetch / verify-final), the IVF
+  * index build (fit / assign), and the stream demos (start /
+  * drain-with-batch-count / snapshot). The bench drains the buffer
+  * after every query and emits the stage list into `bench_out.json`
+  * (`"stages"`), so a slow query decomposes into named (wall, cpu)
+  * pairs instead of one opaque number — every instrumented query's
+  * stages map covers its wall time.
   *
   * CPU is process-wide (the loops are single-threaded driver-side by
   * design — see [[ScopedConf]]'s session assumption), so a stage's cpu
