@@ -196,6 +196,37 @@ object MicroBench {
       }
     }
 
+    // ---- verify-join Jaccard: union-free vs intersect+union --------
+    // The dedup verify computes exact Jaccard per candidate pair. Both
+    // inputs are array_distinct'ed, so |a∪b| = |a|+|b|-|a∩b| — the
+    // union-free form never materializes the union array (a second
+    // hash build + a union-sized result array per pair). Values are
+    // bit-identical (asserted); at 100 TB the candidate count is
+    // billions, so the per-pair saving is a verify-stage lever.
+    locally {
+      val pairs = docs.select(col("shingles").as("sa"))
+        .crossJoin(docs.limit(200).select(col("shingles").as("sb")))
+        .repartition(32).persist()
+      val nPairs = pairs.count()
+      def unionFree = {
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+        inter / (size(col("sa")).cast("double") +
+          size(col("sb")).cast("double") - inter)
+      }
+      def naive = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double")
+      val (su, sn) = (pairs.select(sum(unionFree)).collect()(0).getDouble(0),
+        pairs.select(sum(naive)).collect()(0).getDouble(0))
+      assert(su == sn, s"jaccard forms disagree: $su vs $sn")
+      bench("jaccard verify", "union-free |a|+|b|-|∩|", nPairs) {
+        pairs.select(sum(unionFree)).collect()
+      }
+      bench("jaccard verify", "intersect + union arrays", nPairs) {
+        pairs.select(sum(naive)).collect()
+      }
+      pairs.unpersist()
+    }
+
     // ---- q29 per-key batch update: rescan vs prefix+two-pointer ----
     // The state-update algorithm inside q29's flatMapGroupsWithState,
     // on the adversarial single-giant-batch shape (one micro-batch

@@ -162,9 +162,23 @@ object DedupQueries {
     if (sys.props.get("graft.audit.nofinal").contains("true")) df
     else graft.RoundStats.timed(tag) { df.localCheckpoint() }
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard over DISTINCT arrays — both call sites feed
+    * `array_distinct`-ed features (shingle2Of / gram3Of), so
+    * |a ∪ b| = |a| + |b| − |a ∩ b| holds exactly and the union array
+    * — the expensive half of the naive form (a second hash build PLUS
+    * a union-sized result array materialized per candidate pair) — is
+    * never built. The verify join is the per-pair hot path at scale:
+    * billions of candidates at 100 TB each save one array
+    * materialization. Values are bit-identical to the intersect/union
+    * form (same integer counts, same division), so the DuckDB oracle
+    * and the J==1.0/0.5 spec equalities are unaffected. The repeated
+    * `inter` is evaluated once per row (deterministic subexpression
+    * elimination in the codegen'd project).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
 
   // ---------------------------------------------------------------- q34
   /** Exact content dedup: canonical text → keeper (min doc_id) + copy
