@@ -211,9 +211,13 @@ object ConnectedComponents {
       if (!fixed) throw new IllegalStateException(
         s"large-star/small-star did not converge in $maxRounds rounds")
       // star forest: every child appears once with its component min;
-      // roots (= the minima) label themselves
+      // roots (= the minima) label themselves. No distinct on the
+      // root branch: its consumer is groupBy(id).min(lbl) — min is
+      // duplicate-insensitive and map-side partial aggregation
+      // collapses the repeats in the SAME exchange, so a distinct
+      // here would be one extra E-row shuffle buying nothing.
       edges.select(col("b").as("id"), col("a").as("lbl"))
-        .union(edges.select(col("a").as("id"), col("a").as("lbl")).distinct())
+        .union(edges.select(col("a").as("id"), col("a").as("lbl")))
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
     }
