@@ -113,10 +113,16 @@ object Extended10 {
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+    // `uni` feeds THREE consumers (two broadcasts with different
+    // build keys — no exchange reuse — plus the total below):
+    // materialize the vocabulary-sized table once or the corpus-wide
+    // unigram explode re-runs per consumer. The token total is then
+    // a vocab-sized Σc — NOT a third corpus explode (Σ_vocab c ≡
+    // total tokens by construction).
     val uni = docs.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val n = docs.select(explode(col("toks")).as("tok"))
-      .agg(count(lit(1)).as("n_tokens"))
+      .localCheckpoint()
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
     val bi = docs.filter(size(col("toks")) >= 2)
       .select(explode(T.wordNGrams(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_xy"))

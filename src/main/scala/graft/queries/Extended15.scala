@@ -29,7 +29,12 @@ object Extended15 {
   private def q109(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    // vocab feeds TWO consumers (the scalar total and the scoring
+    // broadcast): materialize the vocabulary-sized aggregate once or
+    // the corpus-wide explode+count pipeline re-executes per consumer
+    // (cf. q87's uni — same fix, measured there).
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = vocab.agg(sum(col("cnt")).as("total"))
     toks.join(broadcast(vocab), "term")
       .crossJoin(broadcast(total))
