@@ -63,7 +63,10 @@ object Tables {
     */
   private[graft] def int64TsDivisor(raw: DataFrame, path: String): Long =
     tsUnitCache.getOrElseUpdate(path, {
-      val sample = raw.select(col("ts")).limit(1).collect()
+      // sample a non-null value (getLong on a null cell throws);
+      // an all-null or empty column defaults to the legacy ns layout
+      val sample = raw.select(col("ts"))
+        .filter(col("ts").isNotNull).limit(1).collect()
       if (sample.isEmpty || math.abs(sample(0).getLong(0)) > 1e17.toLong)
         1000L
       else 1L
