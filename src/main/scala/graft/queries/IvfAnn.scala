@@ -1,9 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.CosineSim
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.{CosineSim, NearestCell}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,31 +39,104 @@ object IvfAnn {
   def index(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     indexCache.computeIfAbsent(dir, { _ =>
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .withColumn("features", array_to_vector(col("embedding")))
-      // Deterministic hash-sample for the fit: bounded training set,
-      // stable across runs/partitionings (unlike .sample at scale).
-      val fitSample = emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
       // Each one-time index phase is a RoundStats stage (cf. the dedup
       // family): q51's in-suite wall is ~all cold index build, and the
       // bench stages map should say whether the k-means fit or the
       // assignment scan paid it.
-      val model = graft.RoundStats.timed("ivf_fit") {
-        new KMeans()
-          .setK(Cells).setSeed(7L).setFeaturesCol("features")
-          .setPredictionCol("cell")
-          .setMaxIter(8) // coarse quantizer: placement, not convergence
-          .fit(fitSample)
+      //
+      // The fit is DRIVER-SIDE Lloyd's over the collected sample: the
+      // sample is bounded by design (that is the whole point of
+      // sampling before the fit), so a cluster-side iterative fit —
+      // Spark-ML KMeans launched ~2 jobs per iteration plus
+      // UDF/Vector conversions — was pure job-launch overhead
+      // (measured 1.8-2.0 s of q51's 2.7 s wall at sf0.1). Collecting
+      // the sample is one scan-thin job; the Lloyd's loop itself is
+      // microseconds of driver math. Seeded k-means++ init keeps the
+      // index deterministic across runs and partitionings.
+      val centers = graft.RoundStats.timed("ivf_fit") {
+        // Deterministic hash-sample: bounded training set, stable
+        // across runs/partitionings (unlike .sample at scale).
+        val sample = emb
+          .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        localKMeans(sample, Cells, iters = 8, seed = 7L)
       }
+      // Assignment: ONE codegen'd scan with the centroid table carried
+      // into the generated code (functions/NearestCell) — no ML
+      // pipeline in the per-row path.
       val assigned = graft.RoundStats.timed("ivf_assign") {
-        val a = model.transform(emb)
-          .select(col("vec_id"), col("embedding"), col("cell"))
+        val a = emb
+          .select(col("vec_id"), col("embedding"),
+            NearestCell(col("embedding"), centers).as("cell"))
           .persist()
         a.count() // materialize once, off the query's critical path
         a
       }
-      (assigned, model.clusterCenters.map(_.toArray))
+      (assigned, centers.map(_.map(_.toDouble)))
     })
+
+  /** Seeded k-means++ init + Lloyd's iterations, entirely driver-side
+    * (the sample is bounded by design; see [[index]]). Assignment uses
+    * strict `<` first-min tie-break — the same rule as [[NearestCell]]
+    * — so the fit's view of the cells and the distributed assignment
+    * scan agree exactly. An emptied cluster keeps its previous center.
+    */
+  private[queries] def localKMeans(points: Array[Array[Float]], k: Int,
+      iters: Int, seed: Long): Array[Array[Float]] = {
+    require(points.nonEmpty, "IVF fit sample is empty")
+    val rng = new scala.util.Random(seed)
+    val dim = points(0).length
+    def d2(x: Array[Float], c: Array[Float]): Double = {
+      val n = math.min(x.length, c.length)
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val t = x(i).toDouble - c(i).toDouble; d += t * t; i += 1
+      }
+      d
+    }
+    val kEff = math.min(k, points.length)
+    // k-means++ seeding: next center sampled ∝ distance² to the
+    // nearest already-chosen center
+    val centers = scala.collection.mutable.ArrayBuffer(
+      points(rng.nextInt(points.length)).clone())
+    while (centers.length < kEff) {
+      val dists = points.map(p => centers.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total == 0.0) {
+        // all remaining points coincide with a center: duplicate one
+        centers += centers(0).clone()
+      } else {
+        var r = rng.nextDouble() * total
+        var i = 0
+        while (i < points.length - 1 && r >= dists(i)) { r -= dists(i); i += 1 }
+        centers += points(i).clone()
+      }
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          val d = d2(p, centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < math.min(dim, p.length)) { sums(best)(i) += p(i); i += 1 }
+      }
+      for (c <- 0 until kEff if counts(c) > 0) {
+        val m = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        centers(c) = m
+      }
+    }
+    centers.toArray
+  }
 
   def q51(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centers) = index(s, dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, Hashing, SrpCode, TextFunctions => T}
+import graft.functions.{CosineSim, Hashing, NearestCell, SrpCode, TextFunctions => T}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -46,13 +46,18 @@ class KernelCodegenSpec extends AnyFunSuite {
       val vecs = Seq(
         (1L, Array(1.0f, 0.0f, 2.0f)),
         (2L, Array(0.5f, -1.0f, 0.0f))).toDF("id", "emb")
+      val centers = Array(Array(1.0f, 0.0f, 2.0f), Array(0.0f, -1.0f, 0.0f))
       val out = vecs
         .select($"id", SrpCode($"emb", tables = 2, bits = 4).as("codes"),
-          CosineSim($"emb", $"emb").as("self"))
+          CosineSim($"emb", $"emb").as("self"),
+          NearestCell($"emb", centers).as("cell"))
         .collect()
       assert(out.length === 2)
       assert(out.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6))
       assert(out.forall(r => r.getSeq[Int](1).length == 2))
+      // row 1 IS centers(0) → cell 0; row 2 is nearer centers(1)
+      assert(out.map(r => (r.getLong(0), r.getInt(3))).toMap ===
+        Map(1L -> 0, 2L -> 1))
     }
   }
 
