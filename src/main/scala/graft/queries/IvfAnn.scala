@@ -82,7 +82,7 @@ object IvfAnn {
     * — so the fit's view of the cells and the distributed assignment
     * scan agree exactly. An emptied cluster keeps its previous center.
     */
-  private[queries] def localKMeans(points: Array[Array[Float]], k: Int,
+  private[graft] def localKMeans(points: Array[Array[Float]], k: Int,
       iters: Int, seed: Long): Array[Array[Float]] = {
     require(points.nonEmpty, "IVF fit sample is empty")
     val rng = new scala.util.Random(seed)

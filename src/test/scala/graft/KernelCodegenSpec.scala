@@ -81,4 +81,54 @@ class KernelCodegenSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.wholeStageCodegen.enabled", prev)
     assert(codegen.toSeq === interpreted.toSeq)
   }
+
+  test("NearestCell: interpreted ≡ codegen; ties go to the lowest index") {
+    // 64 seeded random vectors against 4 centers, plus an exact-tie
+    // vector equidistant from centers 1 and 2 (must pick 1).
+    val rng = new scala.util.Random(11)
+    val centers = Array(
+      Array(0.0f, 0.0f), Array(2.0f, 0.0f), Array(0.0f, 2.0f),
+      Array(5.0f, 5.0f))
+    val vecs = (1 to 64).map(i =>
+      (i.toLong, Array(rng.nextFloat() * 6, rng.nextFloat() * 6))) :+
+      (999L, Array(1.0f, 1.0f)) // d² = 2 to centers 1 AND 2 (and 0)
+    val df = vecs.toDF("id", "emb")
+    def run(): Map[Long, Int] = df
+      .select($"id", NearestCell($"emb", centers).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val prev = spark.conf.get("spark.sql.wholeStageCodegen.enabled", "true")
+    val codegen = run()
+    spark.conf.set("spark.sql.wholeStageCodegen.enabled", "false")
+    val interpreted = try run()
+    finally spark.conf.set("spark.sql.wholeStageCodegen.enabled", prev)
+    assert(codegen === interpreted)
+    assert(codegen(999L) === 0, "tie must resolve to the LOWEST index")
+    // parity with a scala reference argmin
+    val ref = vecs.map { case (id, v) =>
+      id -> centers.zipWithIndex.minBy { case (c, i) =>
+        (math.pow(v(0) - c(0), 2) + math.pow(v(1) - c(1), 2), i)
+      }._2
+    }.toMap
+    assert(codegen === ref)
+  }
+
+  test("localKMeans is seed-deterministic and handles k > n and duplicates") {
+    val pts = Array(
+      Array(0.0f, 0.0f), Array(0.1f, 0.0f),
+      Array(10.0f, 10.0f), Array(10.1f, 10.0f))
+    val a = graft.queries.IvfAnn.localKMeans(pts, k = 2, iters = 4, seed = 7L)
+    val b = graft.queries.IvfAnn.localKMeans(pts, k = 2, iters = 4, seed = 7L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "same seed, same centers")
+    // the two obvious clusters must be found (one center near each)
+    assert(a.exists(c => math.abs(c(0) - 0.05f) < 0.5), s"missing low cluster")
+    assert(a.exists(c => math.abs(c(0) - 10.05f) < 0.5), s"missing high cluster")
+    // k > n degrades to n effective centers without throwing
+    val small = graft.queries.IvfAnn.localKMeans(
+      Array(Array(1.0f), Array(2.0f)), k = 16, iters = 2, seed = 1L)
+    assert(small.length === 2)
+    // an all-identical sample (zero total distance in the ++ seeding)
+    val dup = graft.queries.IvfAnn.localKMeans(
+      Array.fill(5)(Array(3.0f, 3.0f)), k = 3, iters = 2, seed = 1L)
+    assert(dup.nonEmpty && dup.forall(c => c(0) == 3.0f && c(1) == 3.0f))
+  }
 }
