@@ -29,17 +29,24 @@ object Extended19 {
       .groupBy("dim")
       .agg(min(col("x").cast("double")).as("lo"),
         max(col("x").cast("double")).as("hi"))
-    val coded = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .join(broadcast(dims), "dim")
-      .select(col("vec_id"), col("dim"),
-        round((col("x").cast("double") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
-          .cast("int").as("q"))
-    coded
-      .groupBy("vec_id")
-      .agg(sort_array(collect_list(struct(col("dim"), col("q")))).as("dq"))
+    // The stats table is DIMENSION-sized (bounded by the embedding
+    // width, not the corpus) — collect it once and apply the
+    // quantization as a map-side indexed transform over the stored
+    // array. The previous form re-exploded every vector into D rows,
+    // joined the stats and re-grouped by vec_id to rebuild the array:
+    // that second shuffle carried D rows PER VECTOR (plus a per-group
+    // sort) — at 100 TB, the dominant exchange of the query, now gone
+    // entirely. Same double expression and HALF_UP rounding, so the
+    // codes stay bit-identical to the oracle's.
+    val st = dims.orderBy("dim").collect()
+    val lo = typedLit(st.map(_.getDouble(1)).toSeq)
+    val hi = typedLit(st.map(_.getDouble(2)).toSeq)
+    emb
       .select(col("vec_id"),
-        to_json(transform(col("dq"), x => x.getField("q"))).as("codes"))
+        to_json(transform(col("embedding"), (x, i) =>
+          round((x.cast("double") - element_at(lo, i + 1)) /
+              (element_at(hi, i + 1) - element_at(lo, i + 1)) * 255, 0)
+            .cast("int"))).as("codes"))
       .orderBy("vec_id")
   }
 
