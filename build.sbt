@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scores Bench by parsing the LAST stdout line as compact
+// JSON. sbt's default LoggedOutput decorates every forked-program line
+// with an "[info] " prefix and appends its own "[success] Total time"
+// epilog — both defeated the parse in r7/r8 (BENCH parsed: null).
+// StdoutOutput passes the forked program's stdout through RAW, and
+// showSuccess=false drops the epilog, so the JSON really is the last
+// undecorated line the driver captures.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-setting lint can't see that; exclude it to keep builds quiet.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,6 +10,19 @@ object Bench {
   private val dumpPath =
     sys.env.getOrElse("SPARK_GRAFT_DUMP_FILE", "bench_dumps.txt")
 
+  /** The watchdog was built to attribute the r2–r6 bench bimodality
+    * (uniform ~2× runs with clean per-query CPU). Two consecutive
+    * clean driver runs (r7 steal 2.3 s, r8 steal 0.6 s, both
+    * `dumped: []`) closed that investigation, and per-stage
+    * attribution lives in RoundStats now — so the dump machinery is
+    * OFF unless explicitly re-armed (SPARK_GRAFT_WATCHDOG=1). The
+    * `dumped` field stays in the JSON (empty when off) so the
+    * artifact shape is unchanged.
+    */
+  private val watchdogEnabled =
+    sys.env.get("SPARK_GRAFT_WATCHDOG").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+
   /** Queries that tripped the watchdog this run (reported in the JSON
     * so a slow total is attributable without even opening the dump
     * file).
@@ -181,24 +194,27 @@ object Bench {
       val c0 = jvmStat()._1
       val t0 = System.nanoTime()
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val watchdog = new Thread(() => {
-        try {
-          // repeat dumps while the query is stuck: successive stacks
-          // distinguish a livelock (same frames each time) from slow
-          // progress (frames advance), which one snapshot can't
-          var k = 0
-          while (k < 4) {
-            Thread.sleep(30000)
-            if (!done.get()) {
-              dumped.add(name)
-              dumpStacks(s"$name +${30 * (k + 1)}s")
+      val watchdog = if (!watchdogEnabled) None else Some {
+        val t = new Thread(() => {
+          try {
+            // repeat dumps while the query is stuck: successive stacks
+            // distinguish a livelock (same frames each time) from slow
+            // progress (frames advance), which one snapshot can't
+            var k = 0
+            while (k < 4) {
+              Thread.sleep(30000)
+              if (!done.get()) {
+                dumped.add(name)
+                dumpStacks(s"$name +${30 * (k + 1)}s")
+              }
+              k += 1
             }
-            k += 1
-          }
-        } catch { case _: InterruptedException => () }
-      }, s"bench-watchdog-$name")
-      watchdog.setDaemon(true)
-      watchdog.start()
+          } catch { case _: InterruptedException => () }
+        }, s"bench-watchdog-$name")
+        t.setDaemon(true)
+        t.start()
+        t
+      }
       try fn(spark, sfDir).count()
       catch {
         // A crashed query must be visible as a crash, not a timing:
@@ -209,7 +225,7 @@ object Bench {
               .mkString.take(160)
       } finally {
         done.set(true)
-        watchdog.interrupt()
+        watchdog.foreach(_.interrupt())
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val c1 = jvmStat()._1

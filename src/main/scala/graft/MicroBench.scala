@@ -215,9 +215,14 @@ object MicroBench {
       }
       def naive = size(array_intersect(col("sa"), col("sb"))).cast("double") /
         size(array_union(col("sa"), col("sb"))).cast("double")
-      val (su, sn) = (pairs.select(sum(unionFree)).collect()(0).getDouble(0),
-        pairs.select(sum(naive)).collect()(0).getDouble(0))
-      assert(su == sn, s"jaccard forms disagree: $su vs $sn")
+      // Bit-identity is a PER-ROW claim, so assert it per-row: the sum
+      // of |Δ| is exactly 0 in any partial-aggregate merge order.
+      // (Comparing two separately-merged double SUMs is flaky — double
+      // addition is non-associative and each sum's 32 partials merge in
+      // nondeterministic order.)
+      val diff = pairs.select(sum(abs(unionFree - naive)))
+        .collect()(0).getDouble(0)
+      assert(diff == 0.0, s"jaccard forms disagree per-row: sum|delta| = $diff")
       bench("jaccard verify", "union-free |a|+|b|-|∩|", nPairs) {
         pairs.select(sum(unionFree)).collect()
       }

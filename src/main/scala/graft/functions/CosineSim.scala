@@ -43,18 +43,29 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName on every local: two CosineSim instances (or CosineSim
+      // next to NearestCell, which also loops an `n`-bounded accumulator)
+      // in one codegen'd projection must not emit duplicate declarations
+      // — a janino failure silently drops the stage out of codegen.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |if (nx == 0.0 || ny == 0.0) {
+         |if ($nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / java.lang.Math.sqrt(nx * ny);
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
          |}
        """.stripMargin
     })

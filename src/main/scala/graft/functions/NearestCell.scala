@@ -59,20 +59,33 @@ case class NearestCell(child: Expression, centers: Array[Array[Float]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val ctrs = ctx.addReferenceObj("centers", centers, "float[][]")
+      // freshName on every local: two NearestCell instances (or one next
+      // to another kernel declaring the same identifiers) in a single
+      // codegen'd projection must not produce duplicate declarations —
+      // a janino failure here silently drops the whole stage out of
+      // codegen, the exact perf path this kernel exists to keep.
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val ctr = ctx.freshName("ctr")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
       s"""
-         |int best = 0;
-         |double bestD = Double.MAX_VALUE;
-         |for (int c = 0; c < $ctrs.length; c++) {
-         |  float[] ctr = $ctrs[c];
-         |  int n = java.lang.Math.min($a.numElements(), ctr.length);
-         |  double d = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double t = (double) $a.getFloat(i) - (double) ctr[i];
-         |    d += t * t;
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $ctrs.length; $c++) {
+         |  float[] $ctr = $ctrs[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $ctr.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = (double) $a.getFloat($i) - (double) $ctr[$i];
+         |    $d += $t * $t;
          |  }
-         |  if (d < bestD) { bestD = d; best = c; }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
          |}
-         |${ev.value} = best;
+         |${ev.value} = $best;
        """.stripMargin
     })
 

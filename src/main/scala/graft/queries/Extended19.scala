@@ -41,7 +41,12 @@ object Extended19 {
     val st = dims.orderBy("dim").collect()
     val lo = typedLit(st.map(_.getDouble(1)).toSeq)
     val hi = typedLit(st.map(_.getDouble(2)).toSeq)
+    // Cardinality parity on degenerate rows: the oracle's unnest path
+    // (and the old posexplode form) emits NO row for a null/empty
+    // embedding, while a bare transform would keep it with null/"[]"
+    // codes. size() is -1 for null, so one predicate covers both.
     emb
+      .filter(size(col("embedding")) > 0)
       .select(col("vec_id"),
         to_json(transform(col("embedding"), (x, i) =>
           round((x.cast("double") - element_at(lo, i + 1)) /

@@ -172,9 +172,18 @@ object Extended22 {
             else Some(edges.join(broadcast(heads), Seq("src"))
               .persist(MEMORY_AND_DISK))
           try {
-            graft.RoundStats.timed("pr_adj_build") {
-              adj.count(); flat.foreach(_.count())
-            }
+            // No explicit materialization action for adj/flat: their
+            // first consumer is round 1, so the r8 `pr_adj_build`
+            // count() was a whole extra job (shuffle + cache write +
+            // read-back pass) whose work round 1 repeats from cache.
+            // Folding it in, round 1's single action builds the cache
+            // partitions in-line with its own join scan — one fewer
+            // job and one fewer cache pass; rounds 2+ read the cache
+            // exactly as before (BlockInfoManager serializes any
+            // concurrent first-compute of a partition, so a fused
+            // 2-step round can't double-build it). Attribution-wise
+            // the build now lands inside `pr_round1xK` — read round 1
+            // vs round 2 in the stages map for the build cost.
             def rankJoin(r: DataFrame): DataFrame = {
               // past the guard, pin sort-merge: the checkpointed rank
               // table has no size stats, and a planner fallback to a

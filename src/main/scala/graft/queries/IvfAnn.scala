@@ -29,7 +29,13 @@ object IvfAnn {
   val K = 10         // neighbors returned
   val Cells = 16     // coarse centroids
   val NProbe = 4     // cells probed per query
-  val SampleMod = 4  // deterministic 1-in-4 sample for the fit
+  /** Fit-sample row cap — CORPUS-SIZE-INDEPENDENT. k-means placing
+    * `Cells` centroids needs O(Cells × hundreds) points, full stop; a
+    * fractional sample (any fixed 1-in-m) scales with the corpus and
+    * turns the driver collect into the bottleneck at 100 TB. 256
+    * points per target cell is comfortably past k-means++ saturation.
+    */
+  val SampleCap: Int = Cells * 256
 
   /** Memoized per corpus dir: (assigned vectors persisted, centroids). */
   private val indexCache =
@@ -54,11 +60,17 @@ object IvfAnn {
       // microseconds of driver math. Seeded k-means++ init keeps the
       // index deterministic across runs and partitionings.
       val centers = graft.RoundStats.timed("ivf_fit") {
-        // Deterministic hash-sample: bounded training set, stable
-        // across runs/partitionings (unlike .sample at scale).
-        val sample = emb
-          .filter(pmod(xxhash64(col("vec_id")), lit(SampleMod)) === 0)
-          .select(col("embedding")).collect()
+        // Deterministic hash-ordered top-SampleCap: the collect is
+        // bounded by a fixed ROW COUNT, never a corpus fraction (a
+        // 1-in-m fraction is corpus-proportional — ~25 TB through the
+        // driver at 100 TB). orderBy+limit plans as
+        // TakeOrderedAndProject: each scan partition keeps at most
+        // SampleCap rows in a bounded heap and the driver merges —
+        // one scan-thin job, no shuffle. Ordering by (xxhash64(id),
+        // id) makes the selected set AND its order stable across
+        // runs/partitionings (unlike .sample or bare .limit), and is
+        // an unbiased uniform draw because the hash is uniform on ids.
+        val sample = fitSample(emb).collect()
           .map(_.getSeq[Float](0).toArray)
         localKMeans(sample, Cells, iters = 8, seed = 7L)
       }
@@ -75,6 +87,16 @@ object IvfAnn {
       }
       (assigned, centers.map(_.map(_.toDouble)))
     })
+
+  /** The bounded fit-sample plan (factored out so AnnSpec can pin its
+    * shape): hash-ordered top-SampleCap over (vec_id, embedding).
+    * Must plan as TakeOrderedAndProject — bounded per-partition heaps
+    * merged at the driver — NEVER a full-scan collect.
+    */
+  private[graft] def fitSample(emb: DataFrame): DataFrame =
+    emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(SampleCap)
+      .select(col("embedding"))
 
   /** Seeded k-means++ init + Lloyd's iterations, entirely driver-side
     * (the sample is bounded by design; see [[index]]). Assignment uses

@@ -89,6 +89,22 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.15, f"mean recall@10 = $mean%.3f")
   }
 
+  /** Scale guard (r9, VERDICT r8 #1): the fit sample's driver collect
+    * must be bounded by a fixed ROW COUNT, not a corpus fraction — a
+    * fractional sample is ~25 TB through the driver at 100 TB. The
+    * hash-ordered limit plans as TakeOrderedAndProject: each scan
+    * partition keeps ≤ SampleCap rows in a heap, the driver merges.
+    */
+  test("q51 IVF fit sample is row-capped (TakeOrderedAndProject), not corpus-fractional") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val sample = graft.queries.IvfAnn.fitSample(emb)
+    val phys = sample.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"fit sample must plan as a bounded top-k, got:\n$phys")
+    assert(sample.count() <= graft.queries.IvfAnn.SampleCap)
+  }
+
   test("q40 LSH ANN: recall@10 vs brute force is meaningfully above random") {
     val got = SparkEntry.queries("q40_ann_lsh")(spark, sf).collect()
       .groupBy(_.getAs[Long]("query_id"))
