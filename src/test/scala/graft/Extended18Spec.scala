@@ -45,6 +45,29 @@ class Extended18Spec extends AnyFunSuite {
     }
   }
 
+  /** Cardinality parity on degenerate rows (ADVICE r8): the oracle's
+    * unnest path emits NOTHING for a null/empty embedding, so the
+    * map-side transform path must drop them too. The shipped corpus
+    * has none — this plants both shapes.
+    */
+  test("q118 drops null and empty embeddings (oracle unnest parity)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q118_degen")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(0L, Seq(0.0f, 1.0f)), Row(1L, Seq(1.0f, 0.0f)),
+      Row(2L, null), Row(3L, Seq.empty[Float]))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.parquet(dir.resolve("embeddings.parquet").toString)
+    val out = SparkEntry.queries("q118_embed_quantize")(spark, dir.toString)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L),
+      "null/empty embeddings must produce no output row")
+  }
+
   test("q119 map HOFs: zipped = 3x base, evens keep only even keys") {
     val out = SparkEntry.queries("q119_map_hofs")(spark, sf)
       .limit(100).collect()

@@ -15,10 +15,27 @@ class KernelCodegenSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Strict codegen AND a real codegen path. fallback=false alone is
+    * NOT enough for these local-Seq fixtures: ConvertToLocalRelation
+    * folds a deterministic Project over a LocalRelation away at
+    * OPTIMIZATION time via interpreted eval — debugCodegen shows
+    * "0 WholeStageCodegen subtrees" and doGenCode never runs (found
+    * r9: a planted janino Redefinition bug sailed through this gate).
+    * Excluding that rule keeps the projection in the physical plan,
+    * where it whole-stage-compiles — and now throws on a broken
+    * kernel.
+    */
   private def withStrictCodegen[A](f: => A): A = {
-    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFb = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevEx = spark.conf.get("spark.sql.optimizer.excludedRules", "")
     spark.conf.set("spark.sql.codegen.fallback", "false")
-    try f finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFb)
+      if (prevEx.isEmpty) spark.conf.unset("spark.sql.optimizer.excludedRules")
+      else spark.conf.set("spark.sql.optimizer.excludedRules", prevEx)
+    }
   }
 
   test("text/sig kernels compile and run under strict whole-stage codegen") {
@@ -58,6 +75,38 @@ class KernelCodegenSpec extends AnyFunSuite {
       // row 1 IS centers(0) → cell 0; row 2 is nearer centers(1)
       assert(out.map(r => (r.getLong(0), r.getInt(3))).toMap ===
         Map(1L -> 0, 2L -> 1))
+    }
+  }
+
+  /** Regression (ADVICE r8): with NULLABLE children, nullSafeCodeGen
+    * wraps each kernel's block in `if (!isNull) { }` — the braces give
+    * every instance its own scope, hiding name collisions. With
+    * NON-nullable children there are no braces: all instances share
+    * the projection's scope, so locals must come from ctx.freshName or
+    * janino fails with "Redefinition of local variable" (verified: the
+    * pre-fix kernel fails exactly this test). CreateArray over
+    * primitive columns is non-nullable; the expressions are pairwise
+    * DISTINCT so common-subexpression elimination cannot collapse
+    * them.
+    */
+  test("distinct vector kernels over non-nullable inputs share one codegen scope") {
+    withStrictCodegen {
+      val centers = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+      val df = Seq((1.0f, 0.0f), (0.0f, 1.0f)).toDF("x", "y")
+        .select(array($"x", $"y").as("v"), array($"y", $"x").as("w"))
+      val out = df.select(
+          NearestCell($"v", centers).as("cv"),
+          NearestCell($"w", centers).as("cw"),
+          CosineSim($"v", $"w").as("svw"),
+          CosineSim($"w", $"v").as("swv"))
+        .collect()
+      assert(out.length === 2)
+      // row 1: v=(1,0) → cell 0, w=(0,1) → cell 1; orthogonal → cos 0
+      assert(out(0).getInt(0) === 0 && out(0).getInt(1) === 1)
+      out.foreach { r =>
+        assert(math.abs(r.getDouble(2)) < 1e-12)
+        assert(r.getDouble(2) === r.getDouble(3))
+      }
     }
   }
 
