@@ -123,8 +123,12 @@ class KernelCodegenSpec extends AnyFunSuite {
       sig.join(sim, "id").as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
     }
 
+    // codegen leg under withStrictCodegen: without the
+    // ConvertToLocalRelation exclusion BOTH legs of this comparison
+    // folded to interpreted eval at optimization time (r9 finding) —
+    // the parity assert compared interpreted against interpreted.
+    val codegen = withStrictCodegen { run() }
     val prev = spark.conf.get("spark.sql.wholeStageCodegen.enabled", "true")
-    val codegen = run()
     spark.conf.set("spark.sql.wholeStageCodegen.enabled", "false")
     val interpreted = try run()
     finally spark.conf.set("spark.sql.wholeStageCodegen.enabled", prev)
@@ -145,8 +149,10 @@ class KernelCodegenSpec extends AnyFunSuite {
     def run(): Map[Long, Int] = df
       .select($"id", NearestCell($"emb", centers).as("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // codegen leg under withStrictCodegen (see the parity test above:
+    // both legs otherwise fold to interpreted eval)
+    val codegen = withStrictCodegen { run() }
     val prev = spark.conf.get("spark.sql.wholeStageCodegen.enabled", "true")
-    val codegen = run()
     spark.conf.set("spark.sql.wholeStageCodegen.enabled", "false")
     val interpreted = try run()
     finally spark.conf.set("spark.sql.wholeStageCodegen.enabled", prev)
