@@ -103,6 +103,14 @@ class AnnSpec extends AnyFunSuite {
     assert(phys.contains("TakeOrderedAndProject"),
       s"fit sample must plan as a bounded top-k, got:\n$phys")
     assert(sample.count() <= graft.queries.IvfAnn.SampleCap)
+    // The (xxhash64(vec_id), vec_id) ordering is TOTAL, so the sample —
+    // set AND order — must be identical under any input partitioning
+    // (the index, hence every q51 answer, is partitioning-invariant).
+    val a = graft.queries.IvfAnn.fitSample(emb)
+      .collect().map(_.getSeq[Float](0))
+    val b = graft.queries.IvfAnn.fitSample(emb.repartition(13))
+      .collect().map(_.getSeq[Float](0))
+    assert(a.toSeq === b.toSeq, "fit sample must be partitioning-invariant")
   }
 
   test("q40 LSH ANN: recall@10 vs brute force is meaningfully above random") {
