@@ -220,8 +220,11 @@ object MicroBench {
       // (Comparing two separately-merged double SUMs is flaky — double
       // addition is non-associative and each sum's 32 partials merge in
       // nondeterministic order.)
-      val diff = pairs.select(sum(abs(unionFree - naive)))
-        .collect()(0).getDouble(0)
+      val diffRow = pairs.select(sum(abs(unionFree - naive))).collect()(0)
+      // a NULL sum means zero non-null pairs (all-empty shingle
+      // corpus): nothing was compared — fail with a message, not an NPE
+      assert(!diffRow.isNullAt(0), "jaccard forms: no non-null pairs to compare")
+      val diff = diffRow.getDouble(0)
       assert(diff == 0.0, s"jaccard forms disagree per-row: sum|delta| = $diff")
       bench("jaccard verify", "union-free |a|+|b|-|∩|", nPairs) {
         pairs.select(sum(unionFree)).collect()

@@ -28,9 +28,12 @@ class KernelCodegenSpec extends AnyFunSuite {
   private def withStrictCodegen[A](f: => A): A = {
     val prevFb = spark.conf.get("spark.sql.codegen.fallback", "true")
     val prevEx = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    val rule = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    // APPEND to any pre-existing exclusions — overwriting would
+    // silently re-enable them only inside this block
     spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      if (prevEx.isEmpty) rule else s"$prevEx,$rule")
     try f finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFb)
       if (prevEx.isEmpty) spark.conf.unset("spark.sql.optimizer.excludedRules")
