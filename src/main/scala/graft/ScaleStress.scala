@@ -31,6 +31,16 @@ object ScaleStress {
   /** Replicate `srcDir` into `outDir` with per-replica id offsets.
     * Dims copy as-is (dims stay dims — broadcast plans unchanged);
     * fact/corpus tables offset their id column so ids stay unique.
+    * `events` offsets user_id AS WELL AS event_id: a realistically
+    * R×-bigger stream has ~R× more users at constant per-user
+    * density, not the same users R× denser — leaving user_id
+    * undiluted made the click×purchase join families' per-key state
+    * and OUTPUT grow ~R² (r9, found at ×32: the full-outer join's
+    * R²-sized memory-sink snapshot OOM'd the local heap — a harness
+    * densification artifact, not the linear corpus growth this
+    * harness models; per-key quadratic fan-out under genuine key
+    * densification is inherent to the query's semantics and is the
+    * one regime the stream demos do not claim).
     * `events` keeps its stored `ts` layout (int64-nanos or µs
     * timestamp, whichever the generator shipped — the loaders probe)
     * and lands as a single file (the streaming source's
@@ -42,11 +52,12 @@ object ScaleStress {
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
-    def repl(name: String, idCol: String, singleFile: Boolean = false): Unit = {
+    def repl(name: String, idCols: Seq[String], singleFile: Boolean = false): Unit = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val out = spark.read.parquet(s"$srcDir/$name.parquet")
-        .crossJoin(spark.range(rep).select(col("id").as("__r")))
-        .withColumn(idCol, col(idCol) + col("__r") * Base)
+      val out = idCols.foldLeft(
+          spark.read.parquet(s"$srcDir/$name.parquet")
+            .crossJoin(spark.range(rep).select(col("id").as("__r"))))(
+          (d, c) => d.withColumn(c, col(c) + col("__r") * Base))
         .drop("__r")
       if (!singleFile) {
         out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -62,11 +73,15 @@ object ScaleStress {
         Files.deleteIfExists(Paths.get(tmp))
       }
     }
-    repl("orders", "o_orderkey")
-    repl("lineitem", "l_orderkey")
-    repl("documents", "doc_id")
-    repl("embeddings", "vec_id")
-    repl("events", "event_id", singleFile = true)
+    repl("orders", Seq("o_orderkey"))
+    repl("lineitem", Seq("l_orderkey"))
+    repl("documents", Seq("doc_id"))
+    repl("embeddings", Seq("vec_id"))
+    // user_id too — see the scaling note above (q108's stream-static
+    // enrichment keeps matching only base-replica users against the
+    // as-is customer dim; it is stateless, so its scaling is not a
+    // stress claim)
+    repl("events", Seq("event_id", "user_id"), singleFile = true)
   }
 
   def main(args: Array[String]): Unit = {
