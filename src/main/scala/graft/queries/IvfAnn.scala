@@ -90,8 +90,14 @@ object IvfAnn {
 
   /** The bounded fit-sample plan (factored out so AnnSpec can pin its
     * shape): hash-ordered top-SampleCap over (vec_id, embedding).
-    * Must plan as TakeOrderedAndProject — bounded per-partition heaps
-    * merged at the driver — NEVER a full-scan collect.
+    * Must plan as TakeOrderedAndProject — bounded per-partition heaps,
+    * single-reducer merge of the per-partition top-k, driver receives
+    * ≤ SampleCap rows — NEVER a full-scan collect. At extreme scan
+    * partition counts (~10^6 at 100 TB) the merge task streams
+    * partitions × SampleCap rows; if that single reducer ever
+    * bottlenecks, the standard fix is a two-level top-k (coalesce to
+    * √P before the final take) — the per-partition heaps and the
+    * driver bound are unchanged by it.
     */
   private[graft] def fitSample(emb: DataFrame): DataFrame =
     emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
