@@ -150,6 +150,18 @@ object Bench {
       graft.queries.Extended22.integerPageRank(sym, iters = 2).count()
       graft.queries.ConnectedComponents.labelsFor(
         half.select(col("src").as("a"), col("dst").as("b"))).count()
+      // q133's EDGE-GENERATION shape (collect_set → double explode →
+      // hash dedup) is upstream of integerPageRank and otherwise JITs
+      // inside its first census action — the one q133 stage that still
+      // inflated >2× on the r8 driver host
+      spark.range(0, 200)
+        .selectExpr("id % 40 AS k", "id % 7 AS v")
+        .groupBy(col("k")).agg(collect_set(col("v")).as("vs"))
+        .select(explode(col("vs")).as("a"), col("vs"))
+        .select(col("a"), explode(col("vs")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .dropDuplicates("a", "b")
+        .count()
     }
     // Streaming-machinery warmup (same one-off class): the micro-batch
     // planner, FileStreamSource listing, state-store setup/commit, the
