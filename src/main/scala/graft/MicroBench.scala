@@ -226,6 +226,14 @@ object MicroBench {
       assert(!diffRow.isNullAt(0), "jaccard forms: no non-null pairs to compare")
       val diff = diffRow.getDouble(0)
       assert(diff == 0.0, s"jaccard forms disagree per-row: sum|delta| = $diff")
+      // sum(|Δ|) drops pairs where EITHER form is NULL (two empty
+      // shingle arrays null both divisions), so null-ness parity is a
+      // separate claim: a form going null on rows the other didn't
+      // would slip past the |Δ| sum. count(expr) counts non-nulls.
+      val nn = pairs.select(count(unionFree), count(naive)).collect()(0)
+      assert(nn.getLong(0) == nn.getLong(1),
+        s"jaccard forms null-parity mismatch: union-free has ${nn.getLong(0)} " +
+          s"non-null pairs, naive has ${nn.getLong(1)}")
       bench("jaccard verify", "union-free |a|+|b|-|∩|", nPairs) {
         pairs.select(sum(unionFree)).collect()
       }

@@ -45,6 +45,19 @@ object ScaleStress {
     * timestamp, whichever the generator shipped — the loaders probe)
     * and lands as a single file (the streaming source's
     * pathGlobFilter matches the file name `events.parquet`).
+    *
+    * ASYMMETRY (deliberate, scoped): only events.user_id is diluted.
+    * The other fact-side FK columns — orders.o_custkey,
+    * lineitem.l_suppkey / l_partkey — stay undiluted because they
+    * point at dims that copy as-is, so (a) q108's stream-static match
+    * rate drops to 1/R on scaled dirs (only base-replica users hit
+    * the customer dim — stateless, not a stress claim), and (b) any
+    * FUTURE stress assertion that joins replicated facts on those
+    * keys sees per-key R-fold densification (R× orders per custkey ⇒
+    * R²-shaped join output). If such an assertion is added, either
+    * dilute that FK the same way user_id is, or write the expected
+    * count with the R-fold factor in it — don't treat the densified
+    * count as a regression.
     */
   def buildDir(spark: SparkSession, srcDir: String, outDir: String,
       rep: Int): Unit = {
@@ -84,9 +97,39 @@ object ScaleStress {
     repl("events", Seq("event_id", "user_id"), singleFile = true)
   }
 
+  /** Run every stream-family query through the chosen snapshot sink
+    * ("memory" or "file" — see StreamingQueries.sinkMode). Returns
+    * name → (rows, secs); any query error propagates (zero-error is
+    * the stress claim).
+    */
+  private def runStreamFamily(spark: SparkSession, dir: String,
+      sink: String): Seq[(String, Long, Double)] = {
+    import graft.streaming.StreamingQueries
+    StreamingQueries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      StreamingQueries.sinkModeOverride = Some(sink)
+      try {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] $name [$sink] $n%,d rows in $secs%.1f s")
+        (name, n, secs)
+      } finally StreamingQueries.sinkModeOverride = None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rep = if (args.length > 1) args(1).toInt else 8
+    // "dedup" (default): the r4+ dedup/CC/ANN clique-recall harness on
+    // a ×R replicated dir. "streams": the stream family at ×R through
+    // the DISTRIBUTED file-sink snapshot path (the memory-sink collect
+    // is the one driver-side O(output) surface — this is its scale
+    // regime). "streamparity": the stream family run BOTH ways on the
+    // source dir itself, outputs asserted multiset-equal — the proof
+    // that the file path changes where the snapshot lives, not what
+    // it holds.
+    val mode = if (args.length > 2) args(2) else "dedup"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -95,10 +138,47 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (mode == "streamparity") {
+      var bad = 0
+      graft.streaming.StreamingQueries.queries.toSeq.sortBy(_._1)
+        .foreach { case (name, fn) =>
+          import graft.streaming.StreamingQueries.sinkModeOverride
+          val mem = try { sinkModeOverride = Some("memory"); fn(spark, srcDir) }
+            finally sinkModeOverride = None
+          val fil = try { sinkModeOverride = Some("file"); fn(spark, srcDir) }
+            finally sinkModeOverride = None
+          val (nm, nf) = (mem.count(), fil.count())
+          // multiset equality: equal counts + empty symmetric exceptAll
+          val extraMem = mem.exceptAll(fil).count()
+          val extraFil = fil.exceptAll(mem).count()
+          val ok = nm == nf && extraMem == 0 && extraFil == 0
+          if (!ok) bad += 1
+          println(f"[stress] parity $name: memory $nm%,d rows vs file " +
+            f"$nf%,d; mem\\file $extraMem, file\\mem $extraFil " +
+            (if (ok) "EQUAL" else "MISMATCH"))
+        }
+      assert(bad == 0, s"$bad stream queries differ between memory and file sinks")
+      println("[stress] stream sink parity: all queries multiset-equal")
+      spark.stop()
+      return
+    }
+
     val outDir = s"target/stress_x$rep"
     val tB = System.nanoTime()
     buildDir(spark, srcDir, outDir, rep)
     println(f"[stress] built $outDir in ${(System.nanoTime() - tB) / 1e9}%.1f s")
+
+    if (mode == "streams") {
+      val tS = System.nanoTime()
+      val res = runStreamFamily(spark, outDir, "file")
+      val wall = (System.nanoTime() - tS) / 1e9
+      assert(res.forall(_._2 > 0), "a stream query returned no rows at ×" + rep)
+      println(f"[stress] stream family ×$rep via file sink: " +
+        f"${res.size} queries, ${res.map(_._2).sum}%,d total rows, " +
+        f"$wall%.1f s, zero errors")
+      spark.stop()
+      return
+    }
 
     // clique ground truth: docs eligible for the 2-shingle pipelines
     val nElig = Tables.documents(spark, outDir)

@@ -99,10 +99,24 @@ object IvfAnn {
     * √P before the final take) — the per-partition heaps and the
     * driver bound are unchanged by it.
     */
-  private[graft] def fitSample(emb: DataFrame): DataFrame =
+  private[graft] def fitSample(emb: DataFrame): DataFrame = {
+    // The TakeOrderedAndProject plan only materializes while the limit
+    // stays under spark.sql.execution.topKSortFallbackThreshold
+    // (default 10000); past it, Spark silently falls back to a global
+    // sort + shuffle — exactly the unbounded shape this sample exists
+    // to avoid. SampleCap (4096) and the threshold are otherwise
+    // uncoupled, so fail loudly if a config change or a future Cells
+    // bump ever crosses them.
+    val topKThreshold = emb.sparkSession.conf
+      .get("spark.sql.execution.topKSortFallbackThreshold", "10000").toInt
+    require(SampleCap < topKThreshold,
+      s"IVF fit SampleCap=$SampleCap must stay under " +
+        s"topKSortFallbackThreshold=$topKThreshold or the bounded " +
+        "TakeOrderedAndProject fit collect degrades to a global sort")
     emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(SampleCap)
       .select(col("embedding"))
+  }
 
   /** Seeded k-means++ init + Lloyd's iterations, entirely driver-side
     * (the sample is bounded by design; see [[index]]). Assignment uses

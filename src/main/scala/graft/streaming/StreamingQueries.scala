@@ -99,12 +99,46 @@ object StreamingQueries {
   def toJsonSink(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
-  /** Start `df` into a memory sink, drain the source, snapshot the
-    * sink table, and tear everything down (shared session hygiene).
+  /** Snapshot-sink selector. "memory" (default) is exact and cheap at
+    * gate scale (sf0.01/sf0.1) but its snapshot is a DRIVER-SIDE
+    * O(output) collect — the one surface that bounded how far the
+    * stream gates could scale (the pre-r9 ×32 OOM went through it).
+    * "file" is the distributed path: Append streams write a parquet
+    * FILE sink (the sink's transaction log gives exactly-once file
+    * commits), Complete streams snapshot via a per-batch
+    * `foreachBatch` overwrite (complete output IS the full state each
+    * batch, so the cluster-side write is exactly what the sink
+    * semantics emit), and the snapshot is a LAZY distributed
+    * read-back — nothing output-sized ever touches the driver.
+    * Select with SPARK_GRAFT_STREAM_SINK=file (Bench/Verify at ×32+),
+    * or programmatically via [[sinkModeOverride]] for same-JVM
+    * harnesses (ScaleStress's stream sections).
+    */
+  @volatile private[graft] var sinkModeOverride: Option[String] = None
+  private def sinkMode: String = {
+    val raw = sinkModeOverride.orElse(sys.env.get("SPARK_GRAFT_STREAM_SINK"))
+      .map(_.trim.toLowerCase)
+    raw match {
+      case Some("file")           => "file"
+      case Some("memory") | None  => "memory"
+      case Some(other) =>
+        System.err.println(s"[graft] SPARK_GRAFT_STREAM_SINK='$other' is " +
+          "not memory|file; using the memory sink")
+        "memory"
+    }
+  }
+
+  /** Start `df` into the selected snapshot sink, drain the source,
+    * snapshot the sink (memory-table collect or distributed parquet
+    * read-back — see [[sinkMode]]), and tear everything down (shared
+    * session hygiene).
     */
   private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
       mode: OutputMode): DataFrame = {
+    val useFile = sinkMode == "file"
     val name = s"${prefix}_${System.nanoTime()}"
+    val fileBase = s"target/stream_sink/$name"
+    val filePath = s"$fileBase/out"
     // Stateful operators allocate one state store per shuffle
     // partition per operator; for these bounded demo streams the
     // per-store setup/commit overhead dominates at 32 partitions, so
@@ -138,8 +172,21 @@ object StreamingQueries {
           }
           .getOrElse(math.min(4, prev.toInt))
         s.conf.set("spark.sql.shuffle.partitions", cap.toString)
-        df.writeStream.outputMode(mode).format("memory")
-          .queryName(name).start()
+        if (!useFile)
+          df.writeStream.outputMode(mode).format("memory")
+            .queryName(name).start()
+        else if (mode == OutputMode.Append())
+          df.writeStream.outputMode(mode).format("parquet")
+            .option("path", filePath)
+            .option("checkpointLocation", s"$fileBase/ckpt").start()
+        else
+          // the parquet file sink is append-only: Complete-mode demos
+          // snapshot through a per-batch full-state overwrite instead
+          df.writeStream.outputMode(mode)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(filePath)
+            }
+            .option("checkpointLocation", s"$fileBase/ckpt").start()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
       }
@@ -158,7 +205,19 @@ object StreamingQueries {
       q.awaitTermination()
     }
     graft.RoundStats.timed(s"${prefix}_snap") {
-      materializeAndDrop(s, name) }
+      if (!useFile) materializeAndDrop(s, name)
+      else {
+        // same state-store hygiene as the memory path (see
+        // materializeAndDrop); the snapshot itself is a lazy
+        // distributed scan of what the sink committed
+        org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+        if (new java.io.File(filePath).exists())
+          s.read.schema(df.schema).parquet(filePath)
+        else // zero batches / all rows withheld: sink dir never created
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+      }
+    }
   }
 
   private def cpuNow(): Option[Long] =
