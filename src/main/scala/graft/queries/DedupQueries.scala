@@ -28,6 +28,21 @@ object DedupQueries {
     */
   val MaxBucket = 64
 
+  /** Above this many candidate ids the verify-fetch joins flip from
+    * broadcast to sort-merge (see [[attachFeaturesBy]]). Rationale:
+    * verify features run 0.1–3 KB/row (hashed shingle/gram arrays,
+    * float embeddings), so 2^18 rows bound the broadcast build at
+    * ~25–800 MB — comfortably inside a worker heap. Past it, a
+    * driver-built hash relation is the first thing to die at scale
+    * (found at ×128: q36's output-sized contract probe OOM'd the 8 g
+    * heap at ~78 M pairs), while sort-merge stays spill-safe with the
+    * exchange still candidate-sized. Tunable per session (tests pin
+    * both shapes); [[dedupSession]] propagates it to the child.
+    */
+  private[graft] val CandBroadcastMaxKey =
+    "spark.graft.dedup.candBroadcastMaxRows"
+  private[graft] val CandBroadcastMaxDefault: Long = 1L << 18
+
   /** Child session scoped to one dedup pipeline, with AQE off.
     *
     * AQE's final-plan event loop intermittently deadlocks when
@@ -52,6 +67,8 @@ object DedupQueries {
     s2.conf.set("spark.sql.session.timeZone",
       s.conf.get("spark.sql.session.timeZone"))
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set(CandBroadcastMaxKey,
+      s.conf.get(CandBroadcastMaxKey, CandBroadcastMaxDefault.toString))
     s2
   }
 
@@ -92,14 +109,23 @@ object DedupQueries {
       .distinct()
 
   /** Verify-stage feature fetch: prune the (big) feature table down to
-    * the candidate-id set with a broadcast join (ids only — provably
-    * small after the bucket cap), then attach both sides' features to
-    * the pairs. Both inputs of the final joins are candidate-sized, so
-    * broadcasting them is safe — the round-1 driver-stall hazard was
-    * broadcasting the FULL feature table, which this never does. If the
-    * candidate set ever outgrew broadcast at extreme scale, flip these
-    * hints to shuffle_hash; the exchange stays candidate-sized either
-    * way.
+    * the candidate-id set, then attach both sides' features to the
+    * pairs. Both inputs of the final joins are candidate-sized — the
+    * round-1 driver-stall hazard was broadcasting the FULL feature
+    * table, which this never does. The JOIN STRATEGY is size-guarded
+    * (cf. q133's broadcastMaxNodes): at or under
+    * [[CandBroadcastMaxKey]] candidate ids the prune and attach joins
+    * broadcast (zero shuffle of the pair stream); past it they pin
+    * sort-merge — a flood-regime candidate set (every doc in a dup
+    * clique) is corpus-sized, and a corpus-sized broadcast build is
+    * exactly the ×128 OOM this guard closes. The guard must be
+    * explicit because the dedup family runs AQE-off on checkpointed
+    * leaf RDDs: plan-time stats through a distinct() chain
+    * under-estimate, so the planner would happily broadcast an
+    * unbounded side. Sort-merge (not shuffle_hash) on the flipped
+    * path: in a shared local[32] heap — and on a memory-tight
+    * executor — per-partition hash builds of KB-wide features are the
+    * same OOM in smaller pieces, while SMJ spills.
     *
     * The candidate-stage intermediates (`cands`, the id set, the
     * pruned fetch) are MATERIALIZED via eager `localCheckpoint`, the
@@ -117,17 +143,19 @@ object DedupQueries {
     */
   private def attachFeatures(cands0: DataFrame, feats: DataFrame,
       idCol: String, featCol: String, tag: String = "dedup"): DataFrame =
-    attachFeaturesBy(cands0, ids => feats.join(broadcast(ids), idCol),
+    attachFeaturesBy(cands0, ids => feats.join(ids, idCol),
       idCol, featCol, tag)
 
   /** Generalized verify fetch: `featsOf` receives the candidate-id set
-    * and returns their (id, feature) rows. For COMPUTED features
-    * (shingles/grams) the caller prunes the raw scan BEFORE the
-    * feature map — `raw.join(broadcast(ids))` then tokenize+shingle —
-    * so the fetch costs O(candidates), not a second corpus-wide
-    * feature pass (measured at ×8: the corpus-recompute fetch held
-    * q37 at 16.6 s with the candidate join above the gram projection,
-    * because Catalyst does not push joins below projects).
+    * — ALREADY wrapped in the size-guarded strategy (broadcast or a
+    * merge hint; callers must NOT re-wrap) — and returns their
+    * (id, feature) rows. For COMPUTED features (shingles/grams) the
+    * caller prunes the raw scan BEFORE the feature map —
+    * `raw.join(ids)` then tokenize+shingle — so the fetch costs
+    * O(candidates), not a second corpus-wide feature pass (measured
+    * at ×8: the corpus-recompute fetch held q37 at 16.6 s with the
+    * candidate join above the gram projection, because Catalyst does
+    * not push joins below projects).
     */
   private def attachFeaturesBy(cands0: DataFrame,
       featsOf: DataFrame => DataFrame,
@@ -142,11 +170,20 @@ object DedupQueries {
       cands.select(col("a").as(idCol))
         .union(cands.select(col("b").as(idCol)))
         .distinct().localCheckpoint() }
+    // The strategy guard (see the Scaladoc above): the id set is
+    // checkpointed, so the count is a cheap leaf scan, and the
+    // decision is deterministic per run — no AQE, no stats guesswork.
+    val s = candIds.sparkSession
+    val nIds = candIds.count()
+    val broadcastOk = nIds <= s.conf
+      .get(CandBroadcastMaxKey, CandBroadcastMaxDefault.toString).toLong
+    val prep: DataFrame => DataFrame =
+      if (broadcastOk) d => broadcast(d) else d => d.hint("merge")
     val pruned = graft.RoundStats.timed(s"${tag}_fetch") {
-      featsOf(candIds).localCheckpoint() }
+      featsOf(prep(candIds)).localCheckpoint() }
     cands
-      .join(broadcast(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
-      .join(broadcast(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
+      .join(prep(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
+      .join(prep(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
   }
 
   /** Final-stage materialization of a pipeline's verified pairs: an
@@ -332,7 +369,7 @@ object DedupQueries {
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
       pairs.filter(!col("exact")).select(col("a"), col("b")),
-      ids => shingle2Of(raw.join(broadcast(ids), "doc_id")),
+      ids => shingle2Of(raw.join(ids, "doc_id")),
       "doc_id", "shingles", tag = "minhash")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -498,14 +535,22 @@ object DedupQueries {
         xxhash64(col("sh")).as("h1"),
         xxhash64(lit("g2"), col("sh")).as("h2"))
       .localCheckpoint() }
+    // Both contract probes pin sort-merge: canon is corpus-sized and
+    // `pairs` is OUTPUT-sized, and with AQE off the planner's
+    // under-estimate of the checkpointed/distinct()-derived sides
+    // chose a broadcast here — the driver-side hash build of the ×128
+    // pair set (~78 M rows) was the first genuine scale OOM this
+    // harness found (r10). SMJ keeps both probes spill-safe at any
+    // corpus/output size; the exchange is the probe's own input
+    // either way.
     val exactPairs = canon.select(col("doc_id").as("a"),
         col("n"), col("h1"), col("h2"))
       .join(canon.select(col("doc_id").as("b"),
-        col("n"), col("h1"), col("h2")), Seq("n", "h1", "h2"))
+        col("n"), col("h1"), col("h2")).hint("merge"), Seq("n", "h1", "h2"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
     val nExact = exactPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
-    val missed = exactPairs.join(pairs, Seq("a", "b"), "left_anti")
+    val missed = exactPairs.join(pairs.hint("merge"), Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_missed"))
     val bounds = pairs.agg(
       coalesce(expr("bool_and(hamming <= 7)"), lit(true))
@@ -681,7 +726,7 @@ object DedupQueries {
     val toVerify = pairs.filter(!col("exact") && col("plausible"))
       .select(col("a"), col("b"))
     val verified = attachFeaturesBy(toVerify,
-      ids => gram3Of(raw.join(broadcast(ids), "doc_id")),
+      ids => gram3Of(raw.join(ids, "doc_id")),
       "doc_id", "grams", tag = "gram")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)

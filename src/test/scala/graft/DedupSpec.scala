@@ -263,4 +263,52 @@ class DedupSpec extends AnyFunSuite {
     val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
     assert(n === distinctTexts)
   }
+
+  /** The verify-fetch strategy guard (DedupQueries.CandBroadcastMaxKey):
+    * past the candidate-id threshold the attach joins pin sort-merge
+    * instead of broadcast (the ×128 OOM class — a corpus-sized
+    * broadcast build under AQE-off mis-estimates). Both shapes must
+    * produce the identical pair set, and each threshold setting must
+    * actually manifest its join strategy in the executed plan.
+    */
+  test("verify-fetch guard: sort-merge path is value-identical to broadcast") {
+    import graft.queries.DedupQueries
+    def docsOn(s: org.apache.spark.sql.SparkSession) =
+      Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    def run(threshold: String) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set(DedupQueries.CandBroadcastMaxKey, threshold)
+      DedupQueries.minHashPairs(docsOn(s))
+    }
+    val viaBroadcast = run(DedupQueries.CandBroadcastMaxDefault.toString)
+    val viaMerge = run("0")
+    val planB = viaBroadcast.queryExecution.executedPlan.toString
+    val planM = viaMerge.queryExecution.executedPlan.toString
+    assert(planB.contains("BroadcastHashJoin"),
+      "under-threshold run must broadcast the candidate-sized attach")
+    assert(!planM.contains("BroadcastHashJoin") &&
+      planM.contains("SortMergeJoin"),
+      "over-threshold run must pin sort-merge everywhere")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
+    assert(rows(viaBroadcast) === rows(viaMerge))
+  }
+
+  test("q36 contract probes plan corpus/output-sized joins as sort-merge") {
+    // the entry checkpoints its 1-row result (finalStage), hiding the
+    // probe joins — the audit flag skips that, exposing the real plan
+    System.setProperty("graft.audit.nofinal", "true")
+    val df = try SparkEntry.queries("q36_dedup_simhash")(spark, sf)
+      finally System.clearProperty("graft.audit.nofinal")
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row bounds crossJoins legitimately plan as nested-loop;
+    // what must never appear is a hash-relation build of canon/pairs
+    assert(!plan.contains("BroadcastHashJoin"),
+      "contract probe broadcast-builds a corpus/output-sized side")
+    assert(plan.contains("SortMergeJoin"))
+  }
 }
