@@ -204,11 +204,19 @@ object ScaleStress {
         if (n == "q36_dedup_simhash")
           graft.queries.DedupQueries.simHashPairsFor(spark, outDir)
         else SparkEntry.queries(n)(spark, outDir)
+      // serialized storage + explicit unpersist: at flood ×128 the
+      // pair sets are ~40 M rows each and three families run back to
+      // back in one JVM — deserialized value blocks from a finished
+      // family linger until the async cleaner runs, which is exactly
+      // the heap the next family needs (measured: q35 OOM'd the 8 g
+      // heap right after q36's 40 M-pair check passed)
       val (pairs, secs) = timed {
-        pairsOf(name).localCheckpoint()
+        pairsOf(name).localCheckpoint(true,
+          graft.queries.DedupQueries.PairStorage)
       }
       val n = pairs.count()
       val clique = pairs.filter(col("a") % Base === col("b") % Base).count()
+      pairs.unpersist(blocking = true)
       println(f"[stress] $name ×$rep: $n%,d pairs in $secs%.1f s; " +
         f"clique recall $clique%,d / $wantPairs%,d " +
         f"(${100.0 * clique / wantPairs}%.2f%%)")

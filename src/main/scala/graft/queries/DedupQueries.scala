@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{CosineSim, Hashing, TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family q34–q38 (SURVEY.md §2).
   *
@@ -29,19 +30,36 @@ object DedupQueries {
   val MaxBucket = 64
 
   /** Above this many candidate ids the verify-fetch joins flip from
-    * broadcast to sort-merge (see [[attachFeaturesBy]]). Rationale:
+    * broadcast to shuffle-hash (see [[attachFeaturesBy]]). Rationale:
     * verify features run 0.1–3 KB/row (hashed shingle/gram arrays,
     * float embeddings), so 2^18 rows bound the broadcast build at
     * ~25–800 MB — comfortably inside a worker heap. Past it, a
     * driver-built hash relation is the first thing to die at scale
     * (found at ×128: q36's output-sized contract probe OOM'd the 8 g
-    * heap at ~78 M pairs), while sort-merge stays spill-safe with the
-    * exchange still candidate-sized. Tunable per session (tests pin
-    * both shapes); [[dedupSession]] propagates it to the child.
+    * heap at ~78 M pairs), while the flipped strategy distributes the
+    * build with the exchange still candidate-sized. Tunable per
+    * session (tests pin both shapes); [[dedupSession]] propagates it
+    * to the child.
     */
   private[graft] val CandBroadcastMaxKey =
     "spark.graft.dedup.candBroadcastMaxRows"
   private[graft] val CandBroadcastMaxDefault: Long = 1L << 18
+
+  /** Eager local materialization for PAIR/OUTPUT-sized intermediates,
+    * stored SERIALIZED. The default localCheckpoint keeps deserialized
+    * UnsafeRow objects in the memory store — per-row object headers
+    * inflate a 40 M-pair set ~2× and the value-unroll path is where
+    * the ×128 flood OOM'd (UnsafeRow.copy inside putIteratorAsValues).
+    * Serialized blocks pack into chunked buffers with incremental
+    * accounting, evict to disk cleanly, and halve the resident cost;
+    * the decode on re-read is a stream-scan, cheap next to the joins
+    * these feed. Corpus-bounded narrow intermediates (id sets,
+    * signatures) keep the default level.
+    */
+  private[graft] val PairStorage = StorageLevel.MEMORY_AND_DISK_SER
+
+  private def bigCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, PairStorage)
 
   /** Child session scoped to one dedup pipeline, with AQE off.
     *
@@ -122,10 +140,13 @@ object DedupQueries {
     * explicit because the dedup family runs AQE-off on checkpointed
     * leaf RDDs: plan-time stats through a distinct() chain
     * under-estimate, so the planner would happily broadcast an
-    * unbounded side. Sort-merge (not shuffle_hash) on the flipped
-    * path: in a shared local[32] heap — and on a memory-tight
-    * executor — per-partition hash builds of KB-wide features are the
-    * same OOM in smaller pieces, while SMJ spills.
+    * unbounded side. Shuffle-hash (not sort-merge) on the flipped
+    * path: the stream side is the pair set WITH KB-wide feature
+    * arrays attached, and SMJ would sort that whole stream (measured
+    * at ×128: ~80 GB of 2–4 KB rows through the sorters helped OOM
+    * the shared local heap), while SHJ builds only the
+    * candidate-pruned feature side per partition — bounded, and
+    * spillable since Spark 3.2.
     *
     * The candidate-stage intermediates (`cands`, the id set, the
     * pruned fetch) are MATERIALIZED via eager `localCheckpoint`, the
@@ -165,7 +186,7 @@ object DedupQueries {
     // tell WHICH phase (blocking, candidate set, feature fetch) paid —
     // the same attribution gap the loop stages closed for q133/q102.
     val cands = graft.RoundStats.timed(s"${tag}_cands") {
-      cands0.localCheckpoint() }
+      bigCheckpoint(cands0) }
     val candIds = graft.RoundStats.timed(s"${tag}_ids") {
       cands.select(col("a").as(idCol))
         .union(cands.select(col("b").as(idCol)))
@@ -178,9 +199,9 @@ object DedupQueries {
     val broadcastOk = nIds <= s.conf
       .get(CandBroadcastMaxKey, CandBroadcastMaxDefault.toString).toLong
     val prep: DataFrame => DataFrame =
-      if (broadcastOk) d => broadcast(d) else d => d.hint("merge")
+      if (broadcastOk) d => broadcast(d) else d => d.hint("shuffle_hash")
     val pruned = graft.RoundStats.timed(s"${tag}_fetch") {
-      featsOf(prep(candIds)).localCheckpoint() }
+      bigCheckpoint(featsOf(prep(candIds))) }
     cands
       .join(prep(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
       .join(prep(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
@@ -197,7 +218,7 @@ object DedupQueries {
     */
   private def finalStage(tag: String)(df: => DataFrame): DataFrame =
     if (sys.props.get("graft.audit.nofinal").contains("true")) df
-    else graft.RoundStats.timed(tag) { df.localCheckpoint() }
+    else graft.RoundStats.timed(tag) { bigCheckpoint(df) }
 
   /** Exact Jaccard over DISTINCT arrays — both call sites feed
     * `array_distinct`-ed features (shingle2Of / gram3Of), so
@@ -321,7 +342,7 @@ object DedupQueries {
     val buckets = graft.RoundStats.timed("minhash_buckets") { keyed
       .groupBy("band", "key").agg(collect_list("m").as("members"))
       .filter(size(col("members")) >= 2)
-      .localCheckpoint() }
+      .localCheckpoint(true, PairStorage) }
     // Level 2 (q36/q37 parity, closing q35's last silent cap): a
     // NEAR-dup clique larger than MaxBucket floods all 16 band
     // buckets past the cap, and — unlike an exact clique — gets no
@@ -364,7 +385,7 @@ object DedupQueries {
         .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
         .distinct()
         // feeds two consumers (shortcut + verify): materialize once
-        .localCheckpoint() }
+        .localCheckpoint(true, PairStorage) }
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
@@ -425,7 +446,7 @@ object DedupQueries {
       .groupBy("chunk_idx", "chunk")
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
       .filter(size(col("members")) >= 2)
-      .localCheckpoint() }
+      .localCheckpoint(true, PairStorage) }
     val small = buckets.filter(size(col("members")) <= MaxBucket)
     val reblocked = buckets.filter(size(col("members")) > MaxBucket)
       .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
@@ -522,7 +543,7 @@ object DedupQueries {
       .select(col("doc_id"), col("simhash").as("sim"))
     // feeds three aggregates below — materialize the pair pipeline once
     val pairs = graft.RoundStats.timed("simhash_pairs") {
-      simHashPairs(docs).localCheckpoint() }
+      bigCheckpoint(simHashPairs(docs)) }
     // Exact-dup pairs join on the (n, h1, h2) signature of the sorted
     // shingle set, not the set's JSON encoding: equal signatures ⇒
     // equal sets at 2^-128 collision odds (q37's documented pattern),
@@ -665,7 +686,7 @@ object DedupQueries {
     val buckets = graft.RoundStats.timed("gram_buckets") { keyed
       .groupBy("minkey", "isx").agg(collect_list("m").as("members"))
       .filter(size(col("members")) >= 2)
-      .localCheckpoint() }
+      .localCheckpoint(true, PairStorage) }
     val small = buckets.filter(!col("isx") &&
       size(col("members")) <= MaxBucket)
     val exactBuckets = buckets.filter(col("isx"))
@@ -720,7 +741,7 @@ object DedupQueries {
         .union(expandSigPairs(exactBuckets))
         .distinct()
         // feeds two consumers (shortcut + verify): materialize once
-        .localCheckpoint() }
+        .localCheckpoint(true, PairStorage) }
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val toVerify = pairs.filter(!col("exact") && col("plausible"))
@@ -764,7 +785,7 @@ object DedupQueries {
       // corpus, so an unfiltered checkpoint materializes a
       // corpus-sized table the pair expansion immediately discards
       .filter(size(col("ids")) >= 2)
-      .localCheckpoint() }
+      .localCheckpoint(true, PairStorage) }
     bucketPairs(buckets.filter(col("tbl") < 8))
       .union(bucketPairs(buckets.filter(col("tbl") === 8),
         cap = Int.MaxValue))

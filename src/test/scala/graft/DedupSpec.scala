@@ -271,7 +271,7 @@ class DedupSpec extends AnyFunSuite {
     * produce the identical pair set, and each threshold setting must
     * actually manifest its join strategy in the executed plan.
     */
-  test("verify-fetch guard: sort-merge path is value-identical to broadcast") {
+  test("verify-fetch guard: shuffle-hash path is value-identical to broadcast") {
     import graft.queries.DedupQueries
     def docsOn(s: org.apache.spark.sql.SparkSession) =
       Tables.documents(s, sf).select(col("doc_id"), col("text"))
@@ -284,18 +284,18 @@ class DedupSpec extends AnyFunSuite {
       DedupQueries.minHashPairs(docsOn(s))
     }
     val viaBroadcast = run(DedupQueries.CandBroadcastMaxDefault.toString)
-    val viaMerge = run("0")
+    val viaShuffle = run("0")
     val planB = viaBroadcast.queryExecution.executedPlan.toString
-    val planM = viaMerge.queryExecution.executedPlan.toString
+    val planS = viaShuffle.queryExecution.executedPlan.toString
     assert(planB.contains("BroadcastHashJoin"),
       "under-threshold run must broadcast the candidate-sized attach")
-    assert(!planM.contains("BroadcastHashJoin") &&
-      planM.contains("SortMergeJoin"),
-      "over-threshold run must pin sort-merge everywhere")
+    assert(!planS.contains("BroadcastHashJoin") &&
+      planS.contains("ShuffledHashJoin"),
+      "over-threshold run must pin shuffle-hash (wide stream unsorted)")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
         r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
-    assert(rows(viaBroadcast) === rows(viaMerge))
+    assert(rows(viaBroadcast) === rows(viaShuffle))
   }
 
   test("q36 contract probes plan corpus/output-sized joins as sort-merge") {
