@@ -204,19 +204,23 @@ object ScaleStress {
         if (n == "q36_dedup_simhash")
           graft.queries.DedupQueries.simHashPairsFor(spark, outDir)
         else SparkEntry.queries(n)(spark, outDir)
-      // serialized storage + explicit unpersist: at flood ×128 the
-      // pair sets are ~40 M rows each and three families run back to
-      // back in one JVM — deserialized value blocks from a finished
-      // family linger until the async cleaner runs, which is exactly
-      // the heap the next family needs (measured: q35 OOM'd the 8 g
-      // heap right after q36's 40 M-pair check passed)
-      val (pairs, secs) = timed {
-        pairsOf(name).localCheckpoint(true,
-          graft.queries.DedupQueries.PairStorage)
+      // Both counts in ONE aggregate pass: global partial counts are
+      // O(1) memory per task, so the harness holds NOTHING
+      // output-sized — at flood ×256 the forced pair set is ~312 M
+      // rows, and the earlier materialize-then-count shape (a
+      // localCheckpoint of the whole pair set, ~7.5 GB even
+      // serialized) was the harness's own heap ceiling, hit right
+      // after the engine's had been fixed. Engine-side intermediates
+      // (the memoized q35/q102 pair table, bucket checkpoints) still
+      // materialize inside pairsOf — that is the measured path.
+      val (row, secs) = timed {
+        pairsOf(name).agg(
+          count(lit(1)).as("n"),
+          count(when(col("a") % Base === col("b") % Base, 1)).as("clique"))
+          .collect()(0)
       }
-      val n = pairs.count()
-      val clique = pairs.filter(col("a") % Base === col("b") % Base).count()
-      pairs.unpersist(blocking = true)
+      val n = row.getLong(0)
+      val clique = row.getLong(1)
       println(f"[stress] $name ×$rep: $n%,d pairs in $secs%.1f s; " +
         f"clique recall $clique%,d / $wantPairs%,d " +
         f"(${100.0 * clique / wantPairs}%.2f%%)")
