@@ -45,21 +45,38 @@ object DedupQueries {
     "spark.graft.dedup.candBroadcastMaxRows"
   private[graft] val CandBroadcastMaxDefault: Long = 1L << 18
 
-  /** Eager local materialization for PAIR/OUTPUT-sized intermediates,
-    * stored SERIALIZED. The default localCheckpoint keeps deserialized
-    * UnsafeRow objects in the memory store — per-row object headers
-    * inflate a 40 M-pair set ~2× and the value-unroll path is where
-    * the ×128 flood OOM'd (UnsafeRow.copy inside putIteratorAsValues).
-    * Serialized blocks pack into chunked buffers with incremental
-    * accounting, evict to disk cleanly, and halve the resident cost;
-    * the decode on re-read is a stream-scan, cheap next to the joins
-    * these feed. Corpus-bounded narrow intermediates (id sets,
-    * signatures) keep the default level.
+  /** Storage level for PAIR/OUTPUT-sized eager materializations,
+    * stored SERIALIZED by default. The plain localCheckpoint keeps
+    * deserialized UnsafeRow objects in the memory store — per-row
+    * object headers inflate a 40 M-pair set ~2× and the value-unroll
+    * path is where the ×128 flood OOM'd (UnsafeRow.copy inside
+    * putIteratorAsValues). Serialized blocks pack into chunked buffers
+    * with incremental accounting, evict to disk cleanly, and halve the
+    * resident cost; the decode on re-read is a stream-scan, cheap next
+    * to the joins these feed. Corpus-bounded narrow intermediates (id
+    * sets, signatures) keep the default level.
+    *
+    * TUNABLE (r10): at flood ×256 even the serialized pair table
+    * (~164 M rows) competes with the shuffle-hash verify working set
+    * for ONE local JVM's unified memory — on a real cluster the same
+    * intermediate is written to storage and read back, with no
+    * memory-pool residency at all. `DISK_ONLY` models exactly that
+    * (local-disk blocks, zero storage-pool pressure) and extends the
+    * default-heap envelope. Resolution: session conf
+    * [[PairStorageKey]] > env `SPARK_GRAFT_PAIR_STORAGE` (reaches
+    * Bench/Verify/ScaleStress without plumbing, cf.
+    * SPARK_GRAFT_STREAM_SINK) > `MEMORY_AND_DISK_SER`. Gate-scale runs
+    * keep the default: pair tables there are tiny and re-read hot.
     */
-  private[graft] val PairStorage = StorageLevel.MEMORY_AND_DISK_SER
+  private[graft] val PairStorageKey = "spark.graft.dedup.pairStorageLevel"
+  private[graft] val PairStorageDefault = "MEMORY_AND_DISK_SER"
+
+  private def pairLevel(s: SparkSession): StorageLevel =
+    StorageLevel.fromString(s.conf.get(PairStorageKey,
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_STORAGE", PairStorageDefault)))
 
   private def bigCheckpoint(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, PairStorage)
+    df.localCheckpoint(true, pairLevel(df.sparkSession))
 
   /** Child session scoped to one dedup pipeline, with AQE off.
     *
@@ -87,6 +104,8 @@ object DedupQueries {
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set(CandBroadcastMaxKey,
       s.conf.get(CandBroadcastMaxKey, CandBroadcastMaxDefault.toString))
+    s2.conf.set(PairStorageKey, s.conf.get(PairStorageKey,
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_STORAGE", PairStorageDefault)))
     s2
   }
 
@@ -339,10 +358,10 @@ object DedupQueries {
           Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
           array(xxhash64(lit("exact-sig"), col("sig")))))
           .as(Seq("band", "key")))
-    val buckets = graft.RoundStats.timed("minhash_buckets") { keyed
-      .groupBy("band", "key").agg(collect_list("m").as("members"))
-      .filter(size(col("members")) >= 2)
-      .localCheckpoint(true, PairStorage) }
+    val buckets = graft.RoundStats.timed("minhash_buckets") {
+      bigCheckpoint(keyed
+        .groupBy("band", "key").agg(collect_list("m").as("members"))
+        .filter(size(col("members")) >= 2)) }
     // Level 2 (q36/q37 parity, closing q35's last silent cap): a
     // NEAR-dup clique larger than MaxBucket floods all 16 band
     // buckets past the cap, and — unlike an exact clique — gets no
@@ -380,12 +399,11 @@ object DedupQueries {
         (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
           col("x.h2") === col("y.h2")).as("exact"))
     val pairs = graft.RoundStats.timed("minhash_expand") {
-      expand(buckets.filter(col("band") < 16), MaxBucket)
+      // feeds two consumers (shortcut + verify): materialize once
+      bigCheckpoint(expand(buckets.filter(col("band") < 16), MaxBucket)
         .union(expand(reblocked, MaxBucket))
         .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
-        .distinct()
-        // feeds two consumers (shortcut + verify): materialize once
-        .localCheckpoint(true, PairStorage) }
+        .distinct()) }
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
@@ -439,14 +457,14 @@ object DedupQueries {
       maxHamming: Int = 7): DataFrame = {
     // `buckets` feeds BOTH level filters — materialize once so the
     // signature pipeline upstream isn't recomputed (cf. attachFeatures)
-    val buckets = graft.RoundStats.timed("simhash_buckets") { docs
-      .select(col("doc_id"), col("sim"),
-        posexplode(Hashing.simHashChunks(col("sim")))
-          .as(Seq("chunk_idx", "chunk")))
-      .groupBy("chunk_idx", "chunk")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
-      .filter(size(col("members")) >= 2)
-      .localCheckpoint(true, PairStorage) }
+    val buckets = graft.RoundStats.timed("simhash_buckets") {
+      bigCheckpoint(docs
+        .select(col("doc_id"), col("sim"),
+          posexplode(Hashing.simHashChunks(col("sim")))
+            .as(Seq("chunk_idx", "chunk")))
+        .groupBy("chunk_idx", "chunk")
+        .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+        .filter(size(col("members")) >= 2)) }
     val small = buckets.filter(size(col("members")) <= MaxBucket)
     val reblocked = buckets.filter(size(col("members")) > MaxBucket)
       .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
@@ -683,10 +701,10 @@ object DedupQueries {
     // feeds all three branch filters — materialize once (cf.
     // simHashPairs); a min-key colliding with another doc's exact
     // hash just splits that bucket into its two roles, losing nothing
-    val buckets = graft.RoundStats.timed("gram_buckets") { keyed
-      .groupBy("minkey", "isx").agg(collect_list("m").as("members"))
-      .filter(size(col("members")) >= 2)
-      .localCheckpoint(true, PairStorage) }
+    val buckets = graft.RoundStats.timed("gram_buckets") {
+      bigCheckpoint(keyed
+        .groupBy("minkey", "isx").agg(collect_list("m").as("members"))
+        .filter(size(col("members")) >= 2)) }
     val small = buckets.filter(!col("isx") &&
       size(col("members")) <= MaxBucket)
     val exactBuckets = buckets.filter(col("isx"))
@@ -736,12 +754,11 @@ object DedupQueries {
             greatest(col("x.n"), col("y.n")).cast("double") >= 0.3)
           .as("plausible"))
     val pairs = graft.RoundStats.timed("gram_expand") {
-      expandSigPairs(small)
+      // feeds two consumers (shortcut + verify): materialize once
+      bigCheckpoint(expandSigPairs(small)
         .union(expandSigPairs(reblocked))
         .union(expandSigPairs(exactBuckets))
-        .distinct()
-        // feeds two consumers (shortcut + verify): materialize once
-        .localCheckpoint(true, PairStorage) }
+        .distinct()) }
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val toVerify = pairs.filter(!col("exact") && col("plausible"))
@@ -777,15 +794,15 @@ object DedupQueries {
         Lsh.srpCodes(col("embedding"), tables = 8, bits = 8),
         array(xxhash64(lit("exact-emb"), col("embedding")))))
         .as(Seq("tbl", "code")))
-    val buckets = graft.RoundStats.timed("emb_buckets") { coded
-      .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
-      // drop singleton buckets BEFORE the checkpoint (cf. the ≥2
-      // filters in minHashPairs/gramJaccardPairs): the exact-emb key
-      // gives nearly every vector a unique bucket on a non-duplicated
-      // corpus, so an unfiltered checkpoint materializes a
-      // corpus-sized table the pair expansion immediately discards
-      .filter(size(col("ids")) >= 2)
-      .localCheckpoint(true, PairStorage) }
+    val buckets = graft.RoundStats.timed("emb_buckets") {
+      bigCheckpoint(coded
+        .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
+        // drop singleton buckets BEFORE the checkpoint (cf. the ≥2
+        // filters in minHashPairs/gramJaccardPairs): the exact-emb key
+        // gives nearly every vector a unique bucket on a non-duplicated
+        // corpus, so an unfiltered checkpoint materializes a
+        // corpus-sized table the pair expansion immediately discards
+        .filter(size(col("ids")) >= 2)) }
     bucketPairs(buckets.filter(col("tbl") < 8))
       .union(bucketPairs(buckets.filter(col("tbl") === 8),
         cap = Int.MaxValue))

@@ -298,6 +298,46 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(viaBroadcast) === rows(viaShuffle))
   }
 
+  /** The pair-table storage knob (DedupQueries.PairStorageKey, r10):
+    * at flood ×256 the serialized pair table competes with the verify
+    * working set for one JVM's unified memory; DISK_ONLY models the
+    * written-to-storage intermediate a cluster pipeline uses and must
+    * change WHERE the checkpoints live, never WHAT they hold.
+    */
+  test("pair-storage knob: DISK_ONLY checkpoints apply and are value-identical") {
+    import graft.queries.DedupQueries
+    import org.apache.spark.storage.StorageLevel
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, s"$common u$i")) ++
+      (0 until 10).map(i => (1000L + i, "a b c d e f g h"))
+    def run(level: Option[String]) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      level.foreach(s.conf.set(DedupQueries.PairStorageKey, _))
+      DedupQueries.minHashPairs(
+        s.createDataFrame(docs).toDF("doc_id", "text"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val viaDisk = rows(run(Some("DISK_ONLY")))
+    // every pair-sized checkpoint the run created must carry the
+    // requested level (narrow id-set checkpoints keep the default —
+    // MEMORY_AND_DISK appearing alongside is expected, SER is not)
+    val newLevels = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before(id) }
+      .values.map(_.getStorageLevel).toSet
+    assert(newLevels.contains(StorageLevel.DISK_ONLY),
+      s"no checkpoint took the configured level: $newLevels")
+    assert(!newLevels.contains(StorageLevel.MEMORY_AND_DISK_SER),
+      "a pair-sized checkpoint ignored the configured level")
+    assert(viaDisk === rows(run(None)))
+    assert(viaDisk.nonEmpty)
+  }
+
   test("q36 contract probes plan corpus/output-sized joins as sort-merge") {
     // the entry checkpoints its 1-row result (finalStage), hiding the
     // probe joins — the audit flag skips that, exposing the real plan
