@@ -135,6 +135,16 @@ object ScaleStress {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Compress persisted serialized blocks (static core conf, so set
+      // here, not per-session). Shuffle spill is compressed by default
+      // but DISK_ONLY / *_SER checkpoint blocks are NOT — at ×512 the
+      // uncompressed pair-table write (654 M member/pair rows) filled
+      // this box's ~61 GB scratch while the heap stayed healthy. The
+      // blocks are highly redundant (sorted ids, repeated structs);
+      // lz4 shrinks them several-fold for negligible CPU next to the
+      // joins they feed. A production cluster runs persisted
+      // serialized blocks compressed for the same reason.
+      .config("spark.rdd.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -58,9 +58,13 @@ object ConnectedComponents {
     */
   def minLabel(pairs: DataFrame, maxRounds: Int = 25)
       : (DataFrame, Boolean, Int) = {
-    val nbr = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
-      .localCheckpoint()
+    // EDGE-sized (2× the pair set — the loop's biggest table, re-read
+    // every round): pair-level storage policy, not the deserialized
+    // default, whose disk→memory re-read unrolls whole partitions as
+    // object arrays (the ×512 OOM; see DedupQueries.bigCheckpoint).
+    // The node-sized label checkpoints below keep the default level.
+    val nbr = DedupQueries.bigCheckpoint(pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b"), col("a"))).toDF("id", "nb"))
     // per-round volume = the symmetric edge list each round re-joins;
     // small graphs run the loop interpreted (fixed compile cost
     // dominates), big ones keep codegen + AQE
@@ -145,9 +149,11 @@ object ConnectedComponents {
     // distinct so multiplicity cannot cancel.
     def checkpointed(e: DataFrame): (DataFrame, (Long, Long)) = {
       val obs = Observation()
-      val out = e.observe(obs, count(lit(1)).as("cnt"),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("sig"))
-        .localCheckpoint()
+      // edge-sized per round: pair-level storage policy (cf. minLabel's
+      // nbr — the metrics still ride the same eager checkpoint job)
+      val out = DedupQueries.bigCheckpoint(
+        e.observe(obs, count(lit(1)).as("cnt"),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("sig")))
       (out, (obs.get("cnt").asInstanceOf[Long],
         obs.get("sig").asInstanceOf[Long]))
     }

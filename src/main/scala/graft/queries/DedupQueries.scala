@@ -75,7 +75,17 @@ object DedupQueries {
     StorageLevel.fromString(s.conf.get(PairStorageKey,
       sys.env.getOrElse("SPARK_GRAFT_PAIR_STORAGE", PairStorageDefault)))
 
-  private def bigCheckpoint(df: DataFrame): DataFrame =
+  /** Shared with the cluster-assignment path (Extended14 /
+    * ConnectedComponents): its edge-sized checkpoints are pair-sized
+    * by definition and die the same deserialized-unroll death — at
+    * ×512 the symmetric neighbor list (2× pairs ≈ 1.3 B rows) OOM'd
+    * on RE-READ, where a deserialized MEMORY_AND_DISK block evicted
+    * to disk is re-unrolled into the memory store as whole-partition
+    * object arrays (BlockManager.maybeCacheDiskValuesInMemory →
+    * putIteratorAsValues). Serialized levels re-read as bounded byte
+    * buffers instead.
+    */
+  private[queries] def bigCheckpoint(df: DataFrame): DataFrame =
     df.localCheckpoint(true, pairLevel(df.sparkSession))
 
   /** Child session scoped to one dedup pipeline, with AQE off.

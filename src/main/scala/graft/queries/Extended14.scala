@@ -54,9 +54,13 @@ object Extended14 {
       // the pair pipeline and the label loop are attributed separately
       // in the bench's stage dump (the r7 residue question was "which
       // half of q102 is the fixed cost")
+      // pair-sized: takes the dedup family's level policy (serialized
+      // by default, DISK_ONLY selectable) — a deserialized checkpoint
+      // of the ×512 pair set re-unrolls per-partition object arrays on
+      // every round's re-read (see DedupQueries.bigCheckpoint)
       val pairs = graft.RoundStats.timed("q102_pairs") {
-        DedupQueries.nearDupPairs(s0, dir)
-          .select(col("a"), col("b")).localCheckpoint()
+        DedupQueries.bigCheckpoint(DedupQueries.nearDupPairs(s0, dir)
+          .select(col("a"), col("b")))
       }
       // The label loop iterates over the verified PAIR set — orders of
       // magnitude smaller than the corpus (it is the near-dup rate).
