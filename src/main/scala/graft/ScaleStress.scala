@@ -206,6 +206,29 @@ object ScaleStress {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // Deterministic scratch release between families: each pipeline's
+    // intermediate checkpoints (buckets, pair expansions, verify
+    // fetches) become garbage the moment its check returns, but their
+    // disk blocks are only freed when the ContextCleaner notices the
+    // GC'd references — at ×512 that lag let three families' dead
+    // blocks stack up and exhaust the box's ~61 GB scratch inside
+    // q102's loop. `keep` exempts the RDD ancestry of memoized tables
+    // (the q35 pair table q102 re-reads — unpersisting a lineage-cut
+    // checkpoint would be unrecoverable, not a recompute).
+    def ancestorIds(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+      val seen = scala.collection.mutable.Set[Int]()
+      def go(x: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(x.id)) x.dependencies.foreach(d => go(d.rdd))
+      go(r); seen.toSet
+    }
+    def releasingExcept(keep: => Set[Int])(f: => Unit): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      f
+      val keepIds = keep
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) && !keepIds(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     def cliqueCheck(name: String, wantPairs: Long): Unit = {
       // q36's QUERY entry is the one-row contract view; its pair set —
       // what clique recall is about — comes from the factored pair
@@ -236,13 +259,18 @@ object ScaleStress {
         f"(${100.0 * clique / wantPairs}%.2f%%)")
       assert(clique == wantPairs, s"$name lost ${wantPairs - clique} clique pairs")
     }
-    cliqueCheck("q36_dedup_simhash", want)
-    cliqueCheck("q35_dedup_minhash", want)
+    releasingExcept(Set.empty) { cliqueCheck("q36_dedup_simhash", want) }
+    // q35's check builds the memoized pair table q102 re-reads — keep
+    // exactly its ancestry, release the pipeline's other checkpoints
+    releasingExcept(ancestorIds(
+        graft.queries.DedupQueries.nearDupPairs(spark, outDir).rdd)) {
+      cliqueCheck("q35_dedup_minhash", want)
+    }
     // q37: the 100%-duplicated corpus is its adversarial shape — every
     // candidate used to need a corpus-sized gram fetch (16.6 s in r5);
     // the exact-signature shortcut must keep recall at 1 while the
     // verify stage sees only the non-exact remainder.
-    cliqueCheck("q37_ngram_jaccard", want37)
+    releasingExcept(Set.empty) { cliqueCheck("q37_ngram_jaccard", want37) }
 
     // q102 at ×R: cluster structure over the replicated pair graph.
     // Every base doc's R replicas are an exact-copy clique, so every
@@ -250,7 +278,11 @@ object ScaleStress {
     // cluster sizes must be multiples of R (2R+ where base-level
     // near-dups merge components), and the labeling must cover every
     // doc that appears in a pair.
-    locally {
+    // released wholesale after the asserts: the label table's stress
+    // consumers all live inside this block (q111/q112 reuse is a gate
+    // concern, not a stress one), and the loop's per-round checkpoints
+    // are pure scratch
+    releasingExcept(Set.empty) { locally {
       val (labels, secs) = timed {
         SparkEntry.queries("q102_dedup_cluster")(spark, outDir)
           .localCheckpoint()
@@ -266,7 +298,7 @@ object ScaleStress {
         f"clusters in $secs%.1f s")
       assert(badSizes == 0, s"$badSizes cluster sizes not a multiple of $rep")
       assert(nLabeled > 0)
-    }
+    } }
 
     // q133 at ×R: l_partkey is a dim key (NOT offset by replication),
     // so the ×R co-purchase edge set must DEDUP to exactly the base

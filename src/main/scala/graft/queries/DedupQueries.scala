@@ -323,7 +323,7 @@ object DedupQueries {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[queries] def nearDupPairs(s0: SparkSession, dir: String): DataFrame =
+  private[graft] def nearDupPairs(s0: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(dir, finalStage("minhash_final") {
       nearDupPairsUncached(s0, dir) })
 

@@ -54,23 +54,43 @@ object Extended14 {
       // the pair pipeline and the label loop are attributed separately
       // in the bench's stage dump (the r7 residue question was "which
       // half of q102 is the fixed cost")
-      // pair-sized: takes the dedup family's level policy (serialized
-      // by default, DISK_ONLY selectable) — a deserialized checkpoint
-      // of the ×512 pair set re-unrolls per-partition object arrays on
-      // every round's re-read (see DedupQueries.bigCheckpoint)
+      // NO second materialization: nearDupPairs IS already an eager
+      // pair-level checkpoint (minhash_final), so narrowing to (a, b)
+      // stays a lazy projection over that leaf — a checkpointed copy
+      // here doubled the pair table's scratch footprint for nothing
+      // (at ×512 the duplicate was ~a quarter of the q102 path's disk
+      // peak). The timed block attributes the pair build on a cold
+      // cache and costs nothing on a warm one.
       val pairs = graft.RoundStats.timed("q102_pairs") {
-        DedupQueries.bigCheckpoint(DedupQueries.nearDupPairs(s0, dir)
-          .select(col("a"), col("b")))
-      }
+        DedupQueries.nearDupPairs(s0, dir)
+      }.select(col("a"), col("b"))
       // The label loop iterates over the verified PAIR set — orders of
       // magnitude smaller than the corpus (it is the near-dup rate).
       // Its per-round shuffles would otherwise inherit the corpus-sized
       // partition count and pay ~rounds × partitions of task overhead
-      // for KB of data; scope the loop to a few partitions. (`pairs` is
-      // already materialized, so this conf change on the dedup child
-      // session can't affect the blocking/verify stages above. At real
-      // scale, size this to the pair volume instead.)
-      pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", "4")
+      // for KB of data. Sized to the measured pair VOLUME (the count is
+      // a leaf scan of the checkpoint): ~4 M edge rows per partition,
+      // floor 4 (the r6 gate-scale win — tiny loops are fixed-cost
+      // dominated). The floor was hardcoded until ×512 put 1.3 B
+      // symmetric edge rows through a 4-task loop — correct and
+      // spill-safe, but serializing 8× the cores' worth of work; at
+      // 100 TB the same pin would idle a whole cluster. CAP at
+      // parallelism/4, not parallelism: a loop reduce task is
+      // memory-heavy (two shuffled join sides sorted + aggregated,
+      // spill-merge and codec buffers untracked by the memory
+      // manager), and one such task per core in a SHARED heap is an
+      // allocation-rate OOM — measured at ×256, where the 32-way loop
+      // died in GCLocker thrash while 4-way had passed. One heavy
+      // task per ~4 cores matches the per-executor heap share a real
+      // cluster gives (4-5 cores/executor); local[32]'s
+      // 32-threads-one-heap shape is the outlier the cap protects.
+      // (`pairs` is already materialized, so this conf change on the
+      // dedup child session can't affect the blocking/verify stages
+      // above.)
+      val cores = pairs.sparkSession.sparkContext.defaultParallelism
+      val loopParts = math.max(4L, math.min(math.max(4, cores / 4).toLong,
+        2L * pairs.count() / 4000000L)).toString
+      pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", loopParts)
       // Min-label with automatic escalation to large-star/small-star
       // if the graph's diameter exceeds the round cap (r6: the cap
       // used to return silently-partial labels on a long chain; now
