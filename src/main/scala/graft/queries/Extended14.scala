@@ -87,10 +87,22 @@ object Extended14 {
       // (`pairs` is already materialized, so this conf change on the
       // dedup child session can't affect the blocking/verify stages
       // above.)
-      val cores = pairs.sparkSession.sparkContext.defaultParallelism
-      val loopParts = math.max(4L, math.min(math.max(4, cores / 4).toLong,
-        2L * pairs.count() / 4000000L)).toString
-      pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", loopParts)
+      // The cores/4 default cap is itself a conf
+      // (spark.graft.cc.loopPartsCap, env SPARK_GRAFT_CC_LOOP_CAP):
+      // loop width also multiplies CONCURRENT spill volume (each round
+      // holds ~width × two sorted join sides of shuffle files), so a
+      // scratch-constrained deployment narrows the loop to trade
+      // wall-time for disk — measured at ×512 on a ~61 GB-scratch box,
+      // where width 4 fits (1579 s green) and width 8 runs out of
+      // device mid-loop.
+      val s2 = pairs.sparkSession
+      val cores = s2.sparkContext.defaultParallelism
+      val cap = s2.conf.get("spark.graft.cc.loopPartsCap",
+        sys.env.getOrElse("SPARK_GRAFT_CC_LOOP_CAP",
+          math.max(4, cores / 4).toString)).toLong
+      val loopParts = math.max(4L,
+        math.min(cap, 2L * pairs.count() / 4000000L)).toString
+      s2.conf.set("spark.sql.shuffle.partitions", loopParts)
       // Min-label with automatic escalation to large-star/small-star
       // if the graph's diameter exceeds the round cap (r6: the cap
       // used to return silently-partial labels on a long chain; now
