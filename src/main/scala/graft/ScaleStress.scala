@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reproducible ×R scale-stress for the dedup/ANN paths (the round-4
@@ -97,6 +97,49 @@ object ScaleStress {
     repl("events", Seq("event_id", "user_id"), singleFile = true)
   }
 
+  /** DISTINCT-corpus documents table (r11, the VERDICT r10 top ask):
+    * ×R replication where every replica's text is DETERMINISTICALLY
+    * PERTURBED — each whitespace token `t` becomes `z<r>q<t>` for
+    * replica r — so the corpus grows ×R while the near-dup RATE stays
+    * the base corpus's. This is the realistic 100 TB regime the flood
+    * harness cannot measure: past ×64 the flood's every-doc-an-R-clique
+    * shape makes all top-end cost C(R,2) OUTPUT growth, while a real
+    * corpus's blocking tables, signature spaces, bucket distributions
+    * and CC loop scale with CORPUS size at ~flat pairs/doc.
+    *
+    * Why this salt is exact ground truth:
+    *  - `t ↦ "z"+r+"q"+t` is injective for a fixed replica, so word
+    *    n-gram SETS map bijectively — every within-replica Jaccard
+    *    value is preserved BIT-EXACTLY (same integer set sizes, same
+    *    division), and q35/q37's outputs must be exactly R
+    *    replica-shifted copies of the base dir's engine output.
+    *  - Across replicas the encoding is prefix-unambiguous (after the
+    *    leading `z`, the digit run and the `q` delimiter reconstruct
+    *    r uniquely; a base token starting with digits cannot forge
+    *    another replica's prefix), so shingle spaces are strictly
+    *    DISJOINT: any cross-replica pair has Jaccard 0 and the
+    *    Jaccard families must emit exactly zero of them. (q36's
+    *    64-bit SimHash CAN collide across replicas at random — those
+    *    few pairs are true Hamming≤7 answers, reported not asserted.)
+    *
+    * Tokenization parity: texts are rebuilt `concat_ws(" ", …)` from
+    * the same lower/trim/\s+ split the engine's tokenizer uses, so
+    * eligibility (≥2 / ≥3 tokens) maps 1:1 — an empty/whitespace base
+    * text becomes the single token `z<r>q`, still ineligible.
+    */
+  def buildDistinctDocs(spark: SparkSession, srcDir: String, outDir: String,
+      rep: Int): Unit = {
+    val salt = concat(lit("z"), col("__r").cast("string"), lit("q"))
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .crossJoin(spark.range(rep).select(col("id").as("__r")))
+      .withColumn("doc_id", col("doc_id") + col("__r") * Base)
+      .withColumn("text", concat_ws(" ",
+        transform(split(trim(lower(col("text"))), "\\s+"),
+          t => concat(salt, t))))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   /** Run every stream-family query through the chosen snapshot sink
     * ("memory" or "file" — see StreamingQueries.sinkMode). Returns
     * name → (rows, secs); any query error propagates (zero-error is
@@ -113,17 +156,156 @@ object ScaleStress {
         val n = df.count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[stress] $name [$sink] $n%,d rows in $secs%.1f s")
+        // counted = consumed: reclaim this query's sink + checkpoint
+        // scratch before the next one (×R sink dirs are output-sized)
+        StreamingQueries.cleanupFileSinkDirs()
         (name, n, secs)
       } finally StreamingQueries.sinkModeOverride = None
     }
+  }
+
+  /** The distinct-corpus gate (see [[buildDistinctDocs]]): runs the
+    * dedup family over a ×R corpus with BASE near-dup rate and asserts
+    * engine-vs-engine invariance against the same pipelines on the
+    * source dir — no oracle, no output-sized driver state:
+    *  - q35/q37: the ×R pair multiset, projected through `id mod Base`,
+    *    must be EXACTLY the base pair set with every (a, b, jaccard)
+    *    appearing R times, and zero cross-replica pairs (disjoint
+    *    shingle spaces) — pair volume is linear in corpus size, the
+    *    regime the flood harness's C(R,2) output growth drowns out.
+    *  - q36: every within-replica exact-shingle-set pair must surface
+    *    at Hamming 0 (identical sets ⇒ identical codes; the exact-code
+    *    key guarantees blocking), ≥ R × the base exact-pair count;
+    *    near-pair counts are hash-draw-dependent per replica (each
+    *    salt re-rolls every shingle hash) so the total is asserted
+    *    LINEAR (≤ 3·R·base + a cross-collision allowance), not exact.
+    *  - q102: the ×R label table, projected through `mod Base`, must
+    *    be exactly R copies of the base label table (cluster ids are
+    *    min-doc-ids, so they shift with the replica offset).
+    */
+  private def runDistinct(spark: SparkSession, srcDir: String,
+      rep: Int): Unit = {
+    import graft.queries.DedupQueries
+    val outDir = s"target/stress_distinct_x$rep"
+    val tB = System.nanoTime()
+    buildDistinctDocs(spark, srcDir, outDir, rep)
+    println(f"[stress] built distinct $outDir in ${
+      (System.nanoTime() - tB) / 1e9}%.1f s")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val replica = (c: String) => expr(s"$c DIV $Base")
+    val baseId = (c: String) => pmod(col(c), lit(Base))
+
+    // ---- q35 / q37: exact R-fold invariance, zero cross-replica ----
+    def pairInvariance(name: String, base: DataFrame, scaled: DataFrame,
+        secs: Double): Long = {
+      val crossed = scaled.filter(replica("a") =!= replica("b")).count()
+      val projected = scaled
+        .select(baseId("a").as("a"), baseId("b").as("b"), col("jaccard"))
+        .groupBy("a", "b", "jaccard").agg(count(lit(1)).as("n"))
+      val joined = projected.join(
+        base.select(col("a"), col("b"), col("jaccard"), lit(1L).as("w")),
+        Seq("a", "b", "jaccard"), "full_outer")
+      val bad = joined.filter(col("n").isNull || col("w").isNull ||
+        col("n") =!= rep.toLong).count()
+      val total = scaled.count()
+      val nBase = base.count()
+      println(f"[stress] $name distinct ×$rep: $total%,d pairs " +
+        f"(base $nBase%,d × $rep expected) in $secs%.1f s; " +
+        f"cross-replica $crossed, invariance violations $bad")
+      assert(crossed == 0L, s"$name emitted $crossed cross-replica pairs " +
+        "(disjoint shingle spaces make any such pair impossible)")
+      assert(bad == 0L, s"$name ×$rep is not R copies of the base pair set")
+      assert(total == rep * nBase)
+      total
+    }
+    val baseQ35 = DedupQueries.nearDupPairs(spark, srcDir)
+    val (xQ35, sQ35) = timed { DedupQueries.nearDupPairs(spark, outDir) }
+    pairInvariance("q35", baseQ35, xQ35, sQ35)
+
+    val baseQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, srcDir)
+      .localCheckpoint()
+    val (xQ37, sQ37) = timed {
+      SparkEntry.queries("q37_ngram_jaccard")(spark, outDir)
+        .localCheckpoint() } // output-sized: ~R × base pairs, tiny here
+    pairInvariance("q37", baseQ37, xQ37, sQ37)
+
+    // ---- q36: exact-pair recall floor + linear-volume ceiling ----
+    // base exact-shingle-set pairs (identical distinct-2-shingle sets):
+    // replicable ground truth, independent of any hash draw (sum is
+    // cast back — Column `/` is double division)
+    val nExactBase = Tables.documents(spark, srcDir)
+      .select(T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(array_sort(array_distinct(
+        T.wordNGrams(col("toks"), 2))).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L) / 2L), lit(0L))
+        .cast("long"))
+      .collect()(0).getLong(0)
+    val nBase36 = DedupQueries.simHashPairsFor(spark, srcDir).count()
+    val (row36, s36) = timed {
+      // one aggregate pass, nothing output-sized (cf. cliqueCheck)
+      DedupQueries.simHashPairsFor(spark, outDir).agg(
+        count(lit(1)).as("n"),
+        count(when(replica("a") =!= replica("b"), 1)).as("cross"),
+        count(when(replica("a") === replica("b") &&
+          col("hamming") === 0, 1)).as("ham0_within"))
+        .collect()(0)
+    }
+    val (n36, cross36, ham036) =
+      (row36.getLong(0), row36.getLong(1), row36.getLong(2))
+    println(f"[stress] q36 distinct ×$rep: $n36%,d pairs in $s36%.1f s " +
+      f"(base $nBase36%,d; within-replica hamming-0 $ham036%,d ≥ " +
+      f"${rep * nExactBase}%,d exact floor; cross-replica $cross36%,d " +
+      "— 64-bit-code collisions, true Hamming answers)")
+    assert(ham036 >= rep * nExactBase,
+      s"q36 lost within-replica exact-dup pairs: $ham036 < ${rep * nExactBase}")
+    assert(n36 <= 3L * rep * math.max(nBase36, 1L) + cross36,
+      s"q36 distinct volume is super-linear: $n36 pairs vs base $nBase36 × $rep")
+
+    // ---- q102: label table is exactly R copies of the base's ----
+    val baseLbl = SparkEntry.queries("q102_dedup_cluster")(spark, srcDir)
+      .localCheckpoint()
+    val (xLbl, sLbl) = timed {
+      SparkEntry.queries("q102_dedup_cluster")(spark, outDir)
+        .localCheckpoint() } // label-table-sized (R × base near-dup docs)
+    val projLbl = xLbl.select(baseId("doc_id").as("doc_id"),
+        baseId("cluster_id").as("cluster_id"),
+        col("cluster_size"), col("is_keeper"))
+      .groupBy("doc_id", "cluster_id", "cluster_size", "is_keeper")
+      .agg(count(lit(1)).as("n"))
+    val badLbl = projLbl.join(
+        baseLbl.withColumn("w", lit(1L)),
+        Seq("doc_id", "cluster_id", "cluster_size", "is_keeper"),
+        "full_outer")
+      .filter(col("n").isNull || col("w").isNull || col("n") =!= rep.toLong)
+      .count()
+    val (nLbl, nBaseLbl) = (xLbl.count(), baseLbl.count())
+    println(f"[stress] q102 distinct ×$rep: $nLbl%,d labeled docs " +
+      f"(base $nBaseLbl%,d × $rep) in $sLbl%.1f s; violations $badLbl")
+    assert(badLbl == 0L,
+      s"q102 ×$rep labeling is not R copies of the base clustering")
+    assert(nLbl == rep * nBaseLbl)
+    println(f"[stress] distinct ×$rep: corpus ×$rep, pair volume linear " +
+      "(≈ R × base) — the constant-near-dup-rate regime holds")
   }
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rep = if (args.length > 1) args(1).toInt else 8
     // "dedup" (default): the r4+ dedup/CC/ANN clique-recall harness on
-    // a ×R replicated dir. "streams": the stream family at ×R through
-    // the DISTRIBUTED file-sink snapshot path (the memory-sink collect
+    // a ×R replicated dir — the FLOOD regime (every doc an R-clique;
+    // C(R,2) output growth, the worst-case shape). "distinct": ×R
+    // corpus with per-replica text perturbation — BASE near-dup rate,
+    // linear pair volume, the realistic 100 TB shape (see
+    // buildDistinctDocs/runDistinct; the two regimes bracket the real
+    // workload). "streams": the stream family at ×R through the
+    // DISTRIBUTED file-sink snapshot path (the memory-sink collect
     // is the one driver-side O(output) surface — this is its scale
     // regime). "streamparity": the stream family run BOTH ways on the
     // source dir itself, outputs asserted multiset-equal — the proof
@@ -148,6 +330,12 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (mode == "distinct") {
+      runDistinct(spark, srcDir, rep)
+      spark.stop()
+      return
+    }
+
     if (mode == "streamparity") {
       var bad = 0
       graft.streaming.StreamingQueries.queries.toSeq.sortBy(_._1)
@@ -166,6 +354,8 @@ object ScaleStress {
           println(f"[stress] parity $name: memory $nm%,d rows vs file " +
             f"$nf%,d; mem\\file $extraMem, file\\mem $extraFil " +
             (if (ok) "EQUAL" else "MISMATCH"))
+          // both directions compared: the file snapshot is consumed
+          graft.streaming.StreamingQueries.cleanupFileSinkDirs()
         }
       assert(bad == 0, s"$bad stream queries differ between memory and file sinks")
       println("[stress] stream sink parity: all queries multiset-equal")

@@ -63,12 +63,17 @@ object ConnectedComponents {
     // default, whose disk→memory re-read unrolls whole partitions as
     // object arrays (the ×512 OOM; see DedupQueries.bigCheckpoint).
     // The node-sized label checkpoints below keep the default level.
+    val obsNbr = Observation()
     val nbr = DedupQueries.bigCheckpoint(pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b"), col("a"))).toDF("id", "nb"))
+      .union(pairs.select(col("b"), col("a"))).toDF("id", "nb")
+      .observe(obsNbr, count(lit(1)).as("n")))
     // per-round volume = the symmetric edge list each round re-joins;
     // small graphs run the loop interpreted (fixed compile cost
-    // dominates), big ones keep codegen + AQE
-    ScopedConf.forLoopOf(pairs.sparkSession, nbr.count()) {
+    // dominates), big ones keep codegen + AQE. The count rides the
+    // nbr checkpoint's own job (cf. checkpointed in largeSmallStar) —
+    // not a separate action.
+    ScopedConf.forLoopOf(pairs.sparkSession,
+        obsNbr.get("n").asInstanceOf[Long]) {
       var labels = nbr.select(col("id")).distinct()
         .select(col("id"), col("id").as("lbl")).localCheckpoint()
       val lblType = labels.schema("lbl").dataType

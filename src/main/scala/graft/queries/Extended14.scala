@@ -97,11 +97,23 @@ object Extended14 {
       // device mid-loop.
       val s2 = pairs.sparkSession
       val cores = s2.sparkContext.defaultParallelism
+      // env hardening (cf. StreamingQueries.sinkMode): a malformed or
+      // non-positive cap must not throw inside the label loop — warn
+      // with the knob named and keep the cores/4 default
+      val capDefault = math.max(4L, cores / 4L)
       val cap = s2.conf.get("spark.graft.cc.loopPartsCap",
-        sys.env.getOrElse("SPARK_GRAFT_CC_LOOP_CAP",
-          math.max(4, cores / 4).toString)).toLong
-      val loopParts = math.max(4L,
-        math.min(cap, 2L * pairs.count() / 4000000L)).toString
+          sys.env.getOrElse("SPARK_GRAFT_CC_LOOP_CAP", capDefault.toString))
+        .trim.toLongOption.filter(_ > 0).getOrElse {
+          System.err.println("[graft] spark.graft.cc.loopPartsCap/" +
+            "SPARK_GRAFT_CC_LOOP_CAP is not a positive long; " +
+            s"using $capDefault")
+          capDefault
+        }
+      // pair volume observed on the pair checkpoint's own job
+      // (DedupQueries.nearDupPairCount) — no per-invocation count
+      // action (VERDICT r10 #4)
+      val loopParts = math.max(4L, math.min(cap,
+        2L * DedupQueries.nearDupPairCount(s0, dir) / 4000000L)).toString
       s2.conf.set("spark.sql.shuffle.partitions", loopParts)
       // Min-label with automatic escalation to large-star/small-star
       // if the graph's diameter exceeds the round cap (r6: the cap

@@ -128,6 +128,39 @@ object StreamingQueries {
     }
   }
 
+  /** File-sink scratch dirs created by [[runToSnapshot]] (output +
+    * checkpoint, output-sized): tracked so harness callers can reclaim
+    * them once the snapshot is consumed ([[cleanupFileSinkDirs]]) and
+    * a JVM shutdown hook sweeps whatever remains — un-reclaimed, every
+    * file-mode stream query leaked its output twice over (sink +
+    * checkpoint), the same scratch-exhaustion class the ×512 probe
+    * fixed for RDD blocks (ADVICE r10).
+    */
+  private val fileSinkDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private lazy val exitSweepInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteTrackedSinkDirs(), "graft-stream-sink-sweep"))
+
+  private def deleteTrackedSinkDirs(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dirs = fileSinkDirs.synchronized {
+      val d = fileSinkDirs.asScala.toList; fileSinkDirs.clear(); d
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    dirs.foreach(d => rm(new java.io.File(d)))
+  }
+
+  /** Reclaim every tracked file-sink scratch dir. Callers must have
+    * CONSUMED their snapshots first — a file-mode snapshot is a LAZY
+    * scan of the sink dir (count it, write it, or compare it before
+    * calling this). Memory-mode runs track nothing; calling is a no-op.
+    */
+  private[graft] def cleanupFileSinkDirs(): Unit = deleteTrackedSinkDirs()
+
   /** Start `df` into the selected snapshot sink, drain the source,
     * snapshot the sink (memory-table collect or distributed parquet
     * read-back — see [[sinkMode]]), and tear everything down (shared
@@ -139,6 +172,7 @@ object StreamingQueries {
     val name = s"${prefix}_${System.nanoTime()}"
     val fileBase = s"target/stream_sink/$name"
     val filePath = s"$fileBase/out"
+    if (useFile) { exitSweepInstalled; fileSinkDirs.add(fileBase) }
     // Stateful operators allocate one state store per shuffle
     // partition per operator; for these bounded demo streams the
     // per-store setup/commit overhead dominates at 32 partitions, so
@@ -179,14 +213,24 @@ object StreamingQueries {
           df.writeStream.outputMode(mode).format("parquet")
             .option("path", filePath)
             .option("checkpointLocation", s"$fileBase/ckpt").start()
-        else
+        else if (mode == OutputMode.Complete())
           // the parquet file sink is append-only: Complete-mode demos
           // snapshot through a per-batch full-state overwrite instead
+          // (complete output IS the full state each batch, so the last
+          // overwrite is the whole result)
           df.writeStream.outputMode(mode)
             .foreachBatch { (b: DataFrame, _: Long) =>
               b.write.mode("overwrite").parquet(filePath)
             }
             .option("checkpointLocation", s"$fileBase/ckpt").start()
+        else
+          // Update (or any future mode) emits per-batch DELTAS, not
+          // full state: the overwrite branch above would silently
+          // snapshot only the LAST batch's changed rows. No stream
+          // demo uses Update today — fail loudly rather than wrong.
+          throw new IllegalArgumentException(
+            s"file snapshot sink supports Append/Complete, not $mode " +
+              "(Update emits deltas; a full-state snapshot would be wrong)")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
       }

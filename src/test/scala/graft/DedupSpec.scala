@@ -338,6 +338,60 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDisk.nonEmpty)
   }
 
+  /** The measured-volume escalation (DedupQueries.PairDiskMinKey, r11):
+    * past the estimated pair-expansion threshold a pipeline's
+    * remaining pair-sized checkpoints auto-select DISK_ONLY (the ×256
+    * finding: DISK_ONLY beats serialized-memory once the pair table
+    * competes with the verify working set). The flip must (a) manifest
+    * in the persisted levels, (b) never override an explicit pin, and
+    * (c) be value-invisible.
+    */
+  test("pair-volume escalation: threshold flips checkpoints to DISK_ONLY, pin wins") {
+    import graft.queries.DedupQueries
+    import org.apache.spark.storage.StorageLevel
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, s"$common u$i")) ++
+      (0 until 10).map(i => (1000L + i, "a b c d e f g h"))
+    def run(diskMin: Option[String], pin: Option[String]) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      diskMin.foreach(s.conf.set(DedupQueries.PairDiskMinKey, _))
+      pin.foreach(s.conf.set(DedupQueries.PairStorageKey, _))
+      DedupQueries.minHashPairs(
+        s.createDataFrame(docs).toDF("doc_id", "text"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
+    def newLevels(f: => Array[(Long, Long, Double)]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = f
+      (out, spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }
+        .values.map(_.getStorageLevel).toSet)
+    }
+    // threshold 1 row → the post-measurement checkpoints flip (the
+    // bucket checkpoint PRECEDES the measurement and keeps the default
+    // level — unlike the explicit-pin test above, SER is expected here)
+    val (escalated, lvEsc) = newLevels(rows(run(Some("1"), None)))
+    assert(lvEsc.contains(StorageLevel.DISK_ONLY),
+      s"no checkpoint took the escalated level: $lvEsc")
+    // an explicit pin beats the auto decision at any threshold
+    val (pinned, lvPin) =
+      newLevels(rows(run(Some("1"), Some("MEMORY_AND_DISK_SER"))))
+    assert(!lvPin.contains(StorageLevel.DISK_ONLY),
+      s"escalation overrode an explicit pair-storage pin: $lvPin")
+    // default threshold (10^7) on a 50-doc corpus: no flip
+    val (plain, lvPlain) = newLevels(rows(run(None, None)))
+    assert(!lvPlain.contains(StorageLevel.DISK_ONLY),
+      s"escalation fired below the default threshold: $lvPlain")
+    assert(escalated === plain)
+    assert(pinned === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("q36 contract probes plan corpus/output-sized joins as sort-merge") {
     // the entry checkpoints its 1-row result (finalStage), hiding the
     // probe joins — the audit flag skips that, exposing the real plan

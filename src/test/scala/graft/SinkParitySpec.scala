@@ -36,6 +36,9 @@ class SinkParitySpec extends AnyFunSuite {
       s"$name has rows only the memory sink produced")
     assert(fil.exceptAll(mem).count() === 0L,
       s"$name has rows only the file sink produced")
+    // snapshot fully compared — reclaim the sink + checkpoint scratch
+    // (ADVICE r10: un-reclaimed dirs are output-sized per query)
+    StreamingQueries.cleanupFileSinkDirs()
   }
 
   test("q29 append-mode stateful stream: file sink == memory sink") {
@@ -62,5 +65,6 @@ class SinkParitySpec extends AnyFunSuite {
       s"expected a parquet relation in the file-sink snapshot plan:\n$plan")
     assert(!plan.contains("LocalRelation"),
       s"file-sink snapshot collapsed to a LocalRelation:\n$plan")
+    StreamingQueries.cleanupFileSinkDirs()
   }
 }
