@@ -169,10 +169,14 @@ object ScaleStress {
     * engine-vs-engine invariance against the same pipelines on the
     * source dir — no oracle, no output-sized driver state:
     *  - q35/q37: the ×R pair multiset, projected through `id mod Base`,
-    *    must be EXACTLY the base pair set with every (a, b, jaccard)
-    *    appearing R times, and zero cross-replica pairs (disjoint
-    *    shingle spaces) — pair volume is linear in corpus size, the
-    *    regime the flood harness's C(R,2) output growth drowns out.
+    *    must be the base pair set R-fold: EXACT pairs (J = 1.0,
+    *    deterministic exact-signature recall) perfectly, NEAR pairs
+    *    within a 0.1% deviation bound (each replica's salt re-rolls
+    *    every shingle hash, so borderline-J LSH recall is a fresh
+    *    draw per replica — measured 0.006% at ×128), and zero
+    *    cross-replica pairs (disjoint shingle spaces) — pair volume
+    *    is linear in corpus size, the regime the flood harness's
+    *    C(R,2) output growth drowns out.
     *  - q36: every within-replica exact-shingle-set pair must surface
     *    at Hamming 0 (identical sets ⇒ identical codes; the exact-code
     *    key guarantees blocking), ≥ R × the base exact-pair count;
@@ -180,8 +184,9 @@ object ScaleStress {
     *    salt re-rolls every shingle hash) so the total is asserted
     *    LINEAR (≤ 3·R·base + a cross-collision allowance), not exact.
     *  - q102: the ×R label table, projected through `mod Base`, must
-    *    be exactly R copies of the base label table (cluster ids are
-    *    min-doc-ids, so they shift with the replica offset).
+    *    be R copies of the base label table (cluster ids are
+    *    min-doc-ids, so they shift with the replica offset) within a
+    *    0.5% deviation bound — label rows inherit the pair draws.
     */
   private def runDistinct(spark: SparkSession, srcDir: String,
       rep: Int): Unit = {
@@ -200,7 +205,20 @@ object ScaleStress {
     val replica = (c: String) => expr(s"$c DIV $Base")
     val baseId = (c: String) => pmod(col(c), lit(Base))
 
-    // ---- q35 / q37: exact R-fold invariance, zero cross-replica ----
+    // ---- q35 / q37: R-fold invariance, zero cross-replica ----
+    // Exactness is split along what the engine actually guarantees:
+    //  - EXACT pairs (J = 1.0): recall is DETERMINISTIC (the
+    //    exact-signature blocking key) — must appear in all R
+    //    replicas, no extras, no exceptions.
+    //  - NEAR pairs (J < 1): LSH banding recall is probabilistic per
+    //    hash draw, and each replica's salt re-rolls every shingle
+    //    hash — a borderline-J base pair can miss in a few of R
+    //    draws (measured at ×128: ONE base pair absent from 2/128
+    //    replicas, deviation 0.006%; deterministic, same draws every
+    //    run). Asserted ≤ 0.1% of R×base pair instances — 16×
+    //    headroom over the measured rate, while any systematic
+    //    regression (a cap drop, a key-space bug) is orders of
+    //    magnitude larger (r7's flood collapse was 100%).
     def pairInvariance(name: String, base: DataFrame, scaled: DataFrame,
         secs: Double): Long = {
       val crossed = scaled.filter(replica("a") =!= replica("b")).count()
@@ -210,17 +228,30 @@ object ScaleStress {
       val joined = projected.join(
         base.select(col("a"), col("b"), col("jaccard"), lit(1L).as("w")),
         Seq("a", "b", "jaccard"), "full_outer")
-      val bad = joined.filter(col("n").isNull || col("w").isNull ||
-        col("n") =!= rep.toLong).count()
+        .select(col("a"), col("b"), col("jaccard"),
+          coalesce(col("n"), lit(0L)).as("found"),
+          when(col("w").isNotNull, rep.toLong).otherwise(0L).as("want"))
+        .withColumn("dev", abs(col("found") - col("want")))
+      val exactBad = joined
+        .filter(col("jaccard") === 1.0 && col("dev") =!= 0L).count()
+      val nearDev = joined.filter(col("jaccard") < 1.0)
+        .agg(coalesce(sum(col("dev")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
       val total = scaled.count()
       val nBase = base.count()
       println(f"[stress] $name distinct ×$rep: $total%,d pairs " +
-        f"(base $nBase%,d × $rep expected) in $secs%.1f s; " +
-        f"cross-replica $crossed, invariance violations $bad")
+        f"(base $nBase%,d × $rep) in $secs%.1f s; cross-replica " +
+        f"$crossed, exact-pair violations $exactBad, near-pair " +
+        f"deviation $nearDev/${rep * nBase}%,d instances")
+      joined.filter(col("dev") =!= 0L).limit(5).collect().foreach(r =>
+        println(s"[stress]   deviating pair: $r"))
       assert(crossed == 0L, s"$name emitted $crossed cross-replica pairs " +
         "(disjoint shingle spaces make any such pair impossible)")
-      assert(bad == 0L, s"$name ×$rep is not R copies of the base pair set")
-      assert(total == rep * nBase)
+      assert(exactBad == 0L,
+        s"$name ×$rep lost/invented exact-dup pairs ($exactBad rows)")
+      assert(nearDev <= math.max(4L, rep * nBase / 1000L),
+        s"$name ×$rep near-pair deviation $nearDev exceeds 0.1% — " +
+          "systematic recall regression, not LSH draw noise")
       total
     }
     val baseQ35 = DedupQueries.nearDupPairs(spark, srcDir)
@@ -268,29 +299,35 @@ object ScaleStress {
     assert(n36 <= 3L * rep * math.max(nBase36, 1L) + cross36,
       s"q36 distinct volume is super-linear: $n36 pairs vs base $nBase36 × $rep")
 
-    // ---- q102: label table is exactly R copies of the base's ----
+    // ---- q102: label table is R copies of the base's (bounded dev) ----
     val baseLbl = SparkEntry.queries("q102_dedup_cluster")(spark, srcDir)
       .localCheckpoint()
     val (xLbl, sLbl) = timed {
       SparkEntry.queries("q102_dedup_cluster")(spark, outDir)
         .localCheckpoint() } // label-table-sized (R × base near-dup docs)
+    // label deviations inherit the pair deviations (a missed pair can
+    // split a replica's cluster or drop a pairless doc from the
+    // table) — same split: bounded small, never systematic
     val projLbl = xLbl.select(baseId("doc_id").as("doc_id"),
         baseId("cluster_id").as("cluster_id"),
         col("cluster_size"), col("is_keeper"))
       .groupBy("doc_id", "cluster_id", "cluster_size", "is_keeper")
       .agg(count(lit(1)).as("n"))
-    val badLbl = projLbl.join(
+    val devLbl = projLbl.join(
         baseLbl.withColumn("w", lit(1L)),
         Seq("doc_id", "cluster_id", "cluster_size", "is_keeper"),
         "full_outer")
-      .filter(col("n").isNull || col("w").isNull || col("n") =!= rep.toLong)
-      .count()
+      .select(abs(coalesce(col("n"), lit(0L)) -
+        when(col("w").isNotNull, rep.toLong).otherwise(0L)).as("dev"))
+      .agg(coalesce(sum(col("dev")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
     val (nLbl, nBaseLbl) = (xLbl.count(), baseLbl.count())
     println(f"[stress] q102 distinct ×$rep: $nLbl%,d labeled docs " +
-      f"(base $nBaseLbl%,d × $rep) in $sLbl%.1f s; violations $badLbl")
-    assert(badLbl == 0L,
-      s"q102 ×$rep labeling is not R copies of the base clustering")
-    assert(nLbl == rep * nBaseLbl)
+      f"(base $nBaseLbl%,d × $rep) in $sLbl%.1f s; deviation " +
+      f"$devLbl/${rep * nBaseLbl}%,d row instances")
+    assert(devLbl <= math.max(8L, rep * nBaseLbl / 200L),
+      s"q102 ×$rep label deviation $devLbl exceeds 0.5% — systematic " +
+        "clustering divergence, not pair-draw noise")
     println(f"[stress] distinct ×$rep: corpus ×$rep, pair volume linear " +
       "(≈ R × base) — the constant-near-dup-rate regime holds")
   }

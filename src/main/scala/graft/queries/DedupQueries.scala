@@ -45,6 +45,13 @@ object DedupQueries {
     "spark.graft.dedup.candBroadcastMaxRows"
   private[graft] val CandBroadcastMaxDefault: Long = 1L << 18
 
+  /** Candidate ids per build partition on the flipped (shuffle-hash)
+    * verify path — see the fetchParts rationale in
+    * [[attachFeaturesBy]]: hash-relation builds are not spillable, so
+    * the partition count must grow with the measured candidate count.
+    */
+  private[graft] val FetchIdsPerPartition: Long = 16384L
+
   /** Storage level for PAIR/OUTPUT-sized eager materializations,
     * stored SERIALIZED by default. The plain localCheckpoint keeps
     * deserialized UnsafeRow objects in the memory store — per-row
@@ -295,13 +302,37 @@ object DedupQueries {
     val nIds = candIds.count()
     val broadcastOk = nIds <= s.conf
       .get(CandBroadcastMaxKey, CandBroadcastMaxDefault.toString).toLong
-    val prep: DataFrame => DataFrame =
-      if (broadcastOk) d => broadcast(d) else d => d.hint("shuffle_hash")
+    // Flipped-path partition count follows the MEASURED candidate
+    // count, not the session's static shuffle.partitions: an SHJ hash
+    // relation build is NOT spillable, so each build partition
+    // (candidate-pruned feature rows, 0.1–3 KB each) must fit in its
+    // task's execution-memory share. Found by the ×512 DISTINCT probe
+    // (r11): a realistic corpus's candidate set grows ~linearly with
+    // corpus size (q37's min-key blocking admits background
+    // collisions that only the verify prunes), and 1M+ KB-wide
+    // feature rows over 32 static partitions exhausted the unified
+    // pool under 32 concurrent builds ("Can't acquire … to build hash
+    // relation") — the flood regime never sees this because its
+    // candidates are almost all exact-signature short-circuited.
+    // ~16k rows/partition bounds builds at ~2–50 MB; the pre-join
+    // repartition satisfies the join's distribution so the planner
+    // aligns the stream side to it (no extra exchange on the build
+    // side, and the exchanges are candidate-sized either way). AQE
+    // would size these exchanges itself, but the dedup family runs
+    // AQE-off (see dedupSession).
+    val fetchParts = math.max(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      nIds / FetchIdsPerPartition + 1L).toInt
+    val prep: (DataFrame, String) => DataFrame =
+      if (broadcastOk) (d, _) => broadcast(d)
+      else (d, k) => d.repartition(fetchParts, col(k)).hint("shuffle_hash")
     val pruned = graft.RoundStats.timed(s"${tag}_fetch") {
-      bigCheckpoint(featsOf(prep(candIds))) }
+      bigCheckpoint(featsOf(prep(candIds, idCol))) }
     cands
-      .join(prep(pruned.select(col(idCol).as("a"), col(featCol).as("f_a"))), "a")
-      .join(prep(pruned.select(col(idCol).as("b"), col(featCol).as("f_b"))), "b")
+      .join(prep(pruned.select(col(idCol).as("a"), col(featCol).as("f_a")),
+        "a"), "a")
+      .join(prep(pruned.select(col(idCol).as("b"), col(featCol).as("f_b")),
+        "b"), "b")
   }
 
   /** Final-stage materialization of a pipeline's verified pairs: an
