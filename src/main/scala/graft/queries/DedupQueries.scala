@@ -49,8 +49,21 @@ object DedupQueries {
     * verify path — see the fetchParts rationale in
     * [[attachFeaturesBy]]: hash-relation builds are not spillable, so
     * the partition count must grow with the measured candidate count.
+    * Conf-backed (default 16k ≈ 2–50 MB builds at 0.1–3 KB feature
+    * rows): a deployment with wider features sizes builds down the
+    * same way it sizes shuffle partitions.
     */
-  private[graft] val FetchIdsPerPartition: Long = 16384L
+  private[graft] val FetchIdsPerPartitionKey =
+    "spark.graft.dedup.fetchIdsPerPartition"
+  private[graft] val FetchIdsPerPartitionDefault: Long = 16384L
+
+  private def fetchIdsPerPartition(s: SparkSession): Long =
+    s.conf.get(FetchIdsPerPartitionKey, FetchIdsPerPartitionDefault.toString)
+      .trim.toLongOption.filter(_ > 0).getOrElse {
+        System.err.println(s"[graft] $FetchIdsPerPartitionKey is not a " +
+          s"positive long; using $FetchIdsPerPartitionDefault")
+        FetchIdsPerPartitionDefault
+      }
 
   /** Storage level for PAIR/OUTPUT-sized eager materializations,
     * stored SERIALIZED by default. The plain localCheckpoint keeps
@@ -191,6 +204,8 @@ object DedupQueries {
       .foreach(s2.conf.set(PairStorageKey, _))
     s.conf.getOption(PairDiskMinKey)
       .foreach(s2.conf.set(PairDiskMinKey, _))
+    s.conf.getOption(FetchIdsPerPartitionKey)
+      .foreach(s2.conf.set(FetchIdsPerPartitionKey, _))
     s2
   }
 
@@ -319,10 +334,15 @@ object DedupQueries {
     // aligns the stream side to it (no extra exchange on the build
     // side, and the exchanges are candidate-sized either way). AQE
     // would size these exchanges itself, but the dedup family runs
-    // AQE-off (see dedupSession).
+    // AQE-off (see dedupSession). In the executed plan the ATTACH
+    // joins' repartitions are usually ELIDED as redundant: the pruned
+    // checkpoint is a LogicalRDD that PRESERVES the prune join's
+    // hashpartitioning(id, fetchParts), so the width is set once at
+    // the prune join and rides the checkpoint into both attach builds
+    // exchange-free (DedupSpec pins the width on the SHJ nodes).
     val fetchParts = math.max(
       s.conf.get("spark.sql.shuffle.partitions").toLong,
-      nIds / FetchIdsPerPartition + 1L).toInt
+      nIds / fetchIdsPerPartition(s) + 1L).toInt
     val prep: (DataFrame, String) => DataFrame =
       if (broadcastOk) (d, _) => broadcast(d)
       else (d, k) => d.repartition(fetchParts, col(k)).hint("shuffle_hash")

@@ -275,12 +275,13 @@ class DedupSpec extends AnyFunSuite {
     import graft.queries.DedupQueries
     def docsOn(s: org.apache.spark.sql.SparkSession) =
       Tables.documents(s, sf).select(col("doc_id"), col("text"))
-    def run(threshold: String) = {
+    def run(threshold: String, idsPerPart: Option[String] = None) = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions",
         spark.conf.get("spark.sql.shuffle.partitions"))
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set(DedupQueries.CandBroadcastMaxKey, threshold)
+      idsPerPart.foreach(s.conf.set(DedupQueries.FetchIdsPerPartitionKey, _))
       DedupQueries.minHashPairs(docsOn(s))
     }
     val viaBroadcast = run(DedupQueries.CandBroadcastMaxDefault.toString)
@@ -296,6 +297,24 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
         r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
     assert(rows(viaBroadcast) === rows(viaShuffle))
+    // The flipped path must size its join width to the MEASURED
+    // candidate count (r11: SHJ hash-relation builds are not
+    // spillable — the ×512 distinct probe OOM'd on static
+    // partitions). At 1 id/partition every SHJ in the verify region
+    // must run wider than the session's shuffle partitions; the width
+    // is set at the prune join and rides the pruned checkpoint's
+    // preserved partitioning into the attach builds.
+    val viaNarrow = run("0", idsPerPart = Some("1"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val widths = viaNarrow.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.outputPartitioning.numPartitions
+    }
+    assert(widths.nonEmpty, "narrow run lost its shuffle-hash joins")
+    assert(widths.forall(_ > parts),
+      s"verify SHJ width $widths did not follow the measured candidate " +
+        s"count past the session's $parts shuffle partitions")
+    assert(rows(viaNarrow) === rows(viaBroadcast))
   }
 
   /** The pair-table storage knob (DedupQueries.PairStorageKey, r10):
