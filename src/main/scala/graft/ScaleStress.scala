@@ -373,6 +373,22 @@ object ScaleStress {
       return
     }
 
+    // build-only modes: materialize a stress dir and exit, so Bench
+    // (SPARK_GRAFT_SF_DIR=target/stress_* [SPARK_GRAFT_ONLY=qNN]) can
+    // drive any single query against it WITH its per-stage dump — the
+    // stress asserts prove correctness at ×R, the bench attributes
+    // where an ×R wall actually goes
+    if (mode == "build" || mode == "builddistinct") {
+      val outDir = if (mode == "build") s"target/stress_x$rep"
+        else s"target/stress_distinct_x$rep"
+      val t0 = System.nanoTime()
+      if (mode == "build") buildDir(spark, srcDir, outDir, rep)
+      else buildDistinctDocs(spark, srcDir, outDir, rep)
+      println(f"[stress] built $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
+
     if (mode == "streamparity") {
       var bad = 0
       graft.streaming.StreamingQueries.queries.toSeq.sortBy(_._1)

@@ -49,13 +49,24 @@ object DedupQueries {
     * verify path — see the fetchParts rationale in
     * [[attachFeaturesBy]]: hash-relation builds are not spillable, so
     * the partition count must grow with the measured candidate count.
-    * Conf-backed (default 16k ≈ 2–50 MB builds at 0.1–3 KB feature
-    * rows): a deployment with wider features sizes builds down the
-    * same way it sizes shuffle partitions.
+    * Conf-backed; a deployment with wider features sizes builds down
+    * the same way it sizes shuffle partitions.
+    *
+    * Default sizing against the PER-TASK execution cap, not the pool:
+    * with T concurrent tasks Spark caps each task at ~pool/T (8 g ×
+    * 0.6 / 32 ≈ 150 MB here), and the whole cap must fit the build
+    * PLUS its probe-side buffers while corpus-sized checkpoints fight
+    * for the rest of unified memory. 16k ids × 0.1–3 KB rows put
+    * single builds at 50–100 MB — measured BORDERLINE at ×512
+    * distinct (passed a quiet ScaleStress run, failed the same data
+    * in a bench session with q35's bucket checkpoint resident:
+    * "Can't acquire 64 MB … got 57 MB"). 4096 ids ≈ ≤12 MB builds —
+    * an order of magnitude of headroom for the same candidate-sized
+    * total exchange, at the cost of ~4× more (cheap, small) tasks.
     */
   private[graft] val FetchIdsPerPartitionKey =
     "spark.graft.dedup.fetchIdsPerPartition"
-  private[graft] val FetchIdsPerPartitionDefault: Long = 16384L
+  private[graft] val FetchIdsPerPartitionDefault: Long = 4096L
 
   private def fetchIdsPerPartition(s: SparkSession): Long =
     s.conf.get(FetchIdsPerPartitionKey, FetchIdsPerPartitionDefault.toString)
