@@ -60,7 +60,7 @@ object ScaleStress {
     * count as a regression.
     */
   def buildDir(spark: SparkSession, srcDir: String, outDir: String,
-      rep: Int): Unit = {
+      rep: Int, distinctDocs: Boolean = false): Unit = {
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -88,7 +88,12 @@ object ScaleStress {
     }
     repl("orders", Seq("o_orderkey"))
     repl("lineitem", Seq("l_orderkey"))
-    repl("documents", Seq("doc_id"))
+    // r12: distinct-regime dirs are now COMPLETE (every table, not just
+    // documents) — Bench/streams can run on them without symlinking the
+    // flood dir's tables in. Only the documents table differs between
+    // regimes (exact ×R copies vs per-replica salted text).
+    if (distinctDocs) buildDistinctDocs(spark, srcDir, outDir, rep)
+    else repl("documents", Seq("doc_id"))
     repl("embeddings", Seq("vec_id"))
     // user_id too — see the scaling note above (q108's stream-static
     // enrichment keeps matching only base-replica users against the
@@ -146,7 +151,7 @@ object ScaleStress {
     * the stress claim).
     */
   private def runStreamFamily(spark: SparkSession, dir: String,
-      sink: String): Seq[(String, Long, Double)] = {
+      sink: String): Seq[(String, Long, Double, Long)] = {
     import graft.streaming.StreamingQueries
     StreamingQueries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       StreamingQueries.sinkModeOverride = Some(sink)
@@ -155,11 +160,15 @@ object ScaleStress {
         val df = fn(spark, dir)
         val n = df.count()
         val secs = (System.nanoTime() - t0) / 1e9
-        println(f"[stress] $name [$sink] $n%,d rows in $secs%.1f s")
+        // final-batch state rows across the query's stateful operators
+        // (numRowsTotal from the last progress — the ×R bound's input)
+        val state = StreamingQueries.lastStateRowsByOp.map(_._2).sum
+        println(f"[stress] $name [$sink] $n%,d rows in $secs%.1f s; " +
+          f"state rows $state%,d")
         // counted = consumed: reclaim this query's sink + checkpoint
         // scratch before the next one (×R sink dirs are output-sized)
         StreamingQueries.cleanupFileSinkDirs()
-        (name, n, secs)
+        (name, n, secs, state)
       } finally StreamingQueries.sinkModeOverride = None
     }
   }
@@ -193,7 +202,7 @@ object ScaleStress {
     import graft.queries.DedupQueries
     val outDir = s"target/stress_distinct_x$rep"
     val tB = System.nanoTime()
-    buildDistinctDocs(spark, srcDir, outDir, rep)
+    buildDir(spark, srcDir, outDir, rep, distinctDocs = true)
     println(f"[stress] built distinct $outDir in ${
       (System.nanoTime() - tB) / 1e9}%.1f s")
 
@@ -256,7 +265,7 @@ object ScaleStress {
     }
     val baseQ35 = DedupQueries.nearDupPairs(spark, srcDir)
     val (xQ35, sQ35) = timed { DedupQueries.nearDupPairs(spark, outDir) }
-    pairInvariance("q35", baseQ35, xQ35, sQ35)
+    val q35Total = pairInvariance("q35", baseQ35, xQ35, sQ35)
 
     val baseQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, srcDir)
       .localCheckpoint()
@@ -296,8 +305,22 @@ object ScaleStress {
       "— 64-bit-code collisions, true Hamming answers)")
     assert(ham036 >= rep * nExactBase,
       s"q36 lost within-replica exact-dup pairs: $ham036 < ${rep * nExactBase}")
-    assert(n36 <= 3L * rep * math.max(nBase36, 1L) + cross36,
-      s"q36 distinct volume is super-linear: $n36 pairs vs base $nBase36 × $rep")
+    // Linear-volume ceiling decomposed along what is and isn't a hash
+    // draw (ADVICE r11: a flat 3×rep×base ceiling treats the whole base
+    // count as re-drawable and can flake when the base has few near
+    // pairs): the EXACT component (identical shingle sets ⇒ identical
+    // codes) is salt-independent — exactly rep × nExactBase; the NEAR
+    // component (Hamming 1–7) is a fresh draw per replica around the
+    // base draw's mean, allowed 3× per replica PLUS an additive
+    // 8/replica that absorbs small-sample noise when the base near
+    // count is ~0 (a mean-2 draw summed over R replicas stays under
+    // 8R with overwhelming probability; any systematic regression —
+    // a key-space or cap bug — is orders of magnitude larger).
+    val nearBase36 = math.max(0L, nBase36 - nExactBase)
+    val ceil36 = rep * nExactBase + 3L * rep * nearBase36 + 8L * rep + cross36
+    assert(n36 <= ceil36,
+      s"q36 distinct volume is super-linear: $n36 pairs vs ceiling $ceil36 " +
+        s"(base exact $nExactBase + near $nearBase36 × $rep)")
 
     // ---- q102: label table is R copies of the base's (bounded dev) ----
     val baseLbl = SparkEntry.queries("q102_dedup_cluster")(spark, srcDir)
@@ -328,6 +351,87 @@ object ScaleStress {
     assert(devLbl <= math.max(8L, rep * nBaseLbl / 200L),
       s"q102 ×$rep label deviation $devLbl exceeds 0.5% — systematic " +
         "clustering divergence, not pair-draw noise")
+
+    // ---- q111/q112: apply/report conservation at corpus scale ----
+    // (r12, closing VERDICT r11 #4: the label CONSUMERS never ran in
+    // the distinct regime.) Deterministic invariants first: the report
+    // must agree with the corpus (n_docs), with the salt's injectivity
+    // (distinct texts are exactly R-fold — within a replica the token
+    // map is bijective, across replicas disjoint), with the memoized
+    // pair table (n_near_pairs ≡ the q35 total this run already
+    // verified), and with the apply step (n_kept ≡ q111's row count —
+    // kept + dropped = corpus, by the report's own construction).
+    // The kept COUNT itself inherits the per-replica pair draws, so
+    // R-fold exactness is asserted modulo the same 0.5% bound as q102.
+    val baseKept = SparkEntry.queries("q111_dedup_apply")(spark, srcDir).count()
+    val baseDocs = Tables.documents(spark, srcDir).count()
+    val baseTexts = Tables.documents(spark, srcDir)
+      .select("text").distinct().count()
+    val (n111, s111) = timed {
+      SparkEntry.queries("q111_dedup_apply")(spark, outDir).count() }
+    val (row112, s112) = timed {
+      SparkEntry.queries("q112_dedup_report")(spark, outDir).collect()(0) }
+    val (nDocsX, nTextsX, nPairsX, nKeptX) =
+      (row112.getAs[Long]("n_docs"), row112.getAs[Long]("n_distinct_texts"),
+        row112.getAs[Long]("n_near_pairs"), row112.getAs[Long]("n_kept"))
+    println(f"[stress] q111/q112 distinct ×$rep: kept $n111%,d of " +
+      f"$nDocsX%,d docs (base kept $baseKept%,d × $rep) in " +
+      f"$s111%.1f + $s112%.1f s")
+    assert(nDocsX == rep * baseDocs,
+      s"report n_docs $nDocsX != corpus ${rep * baseDocs}")
+    assert(nTextsX == rep * baseTexts,
+      s"report n_distinct_texts $nTextsX != ${rep * baseTexts} " +
+        "(the salt must keep distinct texts exactly R-fold)")
+    assert(nPairsX == q35Total,
+      s"report n_near_pairs $nPairsX != the verified q35 total $q35Total")
+    assert(nKeptX == n111,
+      s"report n_kept $nKeptX != apply's $n111 rows — kept + dropped " +
+        "no longer partitions the corpus")
+    val devKept = math.abs(n111 - rep * baseKept)
+    assert(devKept <= math.max(8L, rep * baseKept / 200L),
+      s"q111 ×$rep kept-count deviation $devKept exceeds 0.5% — " +
+        "systematic apply divergence, not pair-draw noise")
+
+    // ---- q136: incremental ≡ full, at corpus scale ----
+    // (r12, VERDICT r11 #3's stress hook.) The standing-index probe
+    // plus the base-only symmetric run must reproduce the full pair
+    // table this run already verified: EXACT pairs perfectly (both
+    // paths' exact-signature recall is deterministic), near pairs
+    // within the same 0.1% LSH-draw bound as pairInvariance — bucket
+    // populations differ between the full and split runs, so a
+    // borderline pair's banding draw can resolve differently, but any
+    // systematic probe hole (a key-space or cap bug) is orders larger.
+    val split136 = DedupQueries.incrementalSplit(spark, outDir)
+    val (xIncr, sIncr) = timed {
+      DedupQueries.incrementalPairs(spark, outDir).localCheckpoint() }
+    val (xBase136, sBase136) = timed {
+      DedupQueries.nearDupPairsBelow(spark, outDir, split136)
+        .localCheckpoint() }
+    val pj = Seq("a", "b", "jaccard")
+    val recon = xBase136.select(pj.map(col): _*)
+      .union(xIncr.select(pj.map(col): _*))
+    val full = xQ35.select(pj.map(col): _*)
+    val exactMissed = full.filter(col("jaccard") === 1.0)
+      .exceptAll(recon.filter(col("jaccard") === 1.0)).count()
+    val exactInvented = recon.filter(col("jaccard") === 1.0)
+      .exceptAll(full.filter(col("jaccard") === 1.0)).count()
+    val nearDev136 = full.filter(col("jaccard") < 1.0)
+      .exceptAll(recon.filter(col("jaccard") < 1.0)).count() +
+      recon.filter(col("jaccard") < 1.0)
+        .exceptAll(full.filter(col("jaccard") < 1.0)).count()
+    val nIncr = xIncr.count()
+    println(f"[stress] q136 distinct ×$rep: $nIncr%,d incremental pairs " +
+      f"(split $split136%,d) in $sIncr%.1f s (base-only rerun " +
+      f"$sBase136%.1f s); exact missed/invented $exactMissed/" +
+      f"$exactInvented, near deviation $nearDev136")
+    assert(nIncr > 0, "q136 found no pairs touching the increment")
+    assert(exactMissed == 0L && exactInvented == 0L,
+      s"q136 ∪ base-only diverged from the full rerun on EXACT pairs " +
+        s"($exactMissed missed, $exactInvented invented)")
+    assert(nearDev136 <= math.max(4L, q35Total / 1000L),
+      s"q136 ∪ base-only near-pair deviation $nearDev136 exceeds 0.1% — " +
+        "systematic incremental recall hole, not LSH draw noise")
+
     println(f"[stress] distinct ×$rep: corpus ×$rep, pair volume linear " +
       "(≈ R × base) — the constant-near-dup-rate regime holds")
   }
@@ -341,10 +445,12 @@ object ScaleStress {
     // corpus with per-replica text perturbation — BASE near-dup rate,
     // linear pair volume, the realistic 100 TB shape (see
     // buildDistinctDocs/runDistinct; the two regimes bracket the real
-    // workload). "streams": the stream family at ×R through the
-    // DISTRIBUTED file-sink snapshot path (the memory-sink collect
-    // is the one driver-side O(output) surface — this is its scale
-    // regime). "streamparity": the stream family run BOTH ways on the
+    // workload). "streams": the stream family at ×R on a
+    // DISTINCT-regime dir through the DISTRIBUTED file-sink snapshot
+    // path (the memory-sink collect is the one driver-side O(output)
+    // surface — this is its scale regime), with per-query final-batch
+    // state rows asserted LINEAR in R against a base-dir run (r12).
+    // "streamparity": the stream family run BOTH ways on the
     // source dir itself, outputs asserted multiset-equal — the proof
     // that the file path changes where the snapshot lives, not what
     // it holds.
@@ -382,9 +488,46 @@ object ScaleStress {
       val outDir = if (mode == "build") s"target/stress_x$rep"
         else s"target/stress_distinct_x$rep"
       val t0 = System.nanoTime()
-      if (mode == "build") buildDir(spark, srcDir, outDir, rep)
-      else buildDistinctDocs(spark, srcDir, outDir, rep)
+      // both dirs are COMPLETE (r12) — Bench runs on either without
+      // symlinking tables in
+      buildDir(spark, srcDir, outDir, rep, distinctDocs = mode == "builddistinct")
       println(f"[stress] built $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
+
+    if (mode == "streams") {
+      // r12 (VERDICT r11 #6): the stream family runs on the DISTINCT
+      // dir — the realistic corpus shape, same scale as the dedup
+      // distinct gates; the events table is the same ×R replication in
+      // both regimes (user_id diluted — see buildDir), only the
+      // documents differ. Beyond zero-errors, each query's final-batch
+      // state rows are now asserted LINEAR in R: a base-dir run
+      // supplies per-query floors, and the scaled run must stay under
+      // 2·R·base + 64 (2× for boundary-window/buffer headroom; +64
+      // absorbs ~0 bases) — a quadratic state blowup (the r9 undiluted
+      // user_id class) fails this long before it OOMs.
+      val outDir = s"target/stress_distinct_x$rep"
+      val tB = System.nanoTime()
+      buildDir(spark, srcDir, outDir, rep, distinctDocs = true)
+      println(f"[stress] built $outDir in ${(System.nanoTime() - tB) / 1e9}%.1f s")
+      val baseState = runStreamFamily(spark, srcDir, "file")
+        .map(r => r._1 -> r._4).toMap
+      val tS = System.nanoTime()
+      val res = runStreamFamily(spark, outDir, "file")
+      val wall = (System.nanoTime() - tS) / 1e9
+      assert(res.forall(_._2 > 0), "a stream query returned no rows at ×" + rep)
+      res.foreach { case (name, _, _, st) =>
+        val bound = 2L * rep * baseState.getOrElse(name, 0L) + 64L
+        assert(st <= bound,
+          s"$name state rows $st exceed the linear bound $bound (base " +
+            s"${baseState.getOrElse(name, 0L)} × $rep) — super-linear " +
+            "state growth")
+      }
+      println(f"[stress] stream family ×$rep distinct via file sink: " +
+        f"${res.size} queries, ${res.map(_._2).sum}%,d total rows, " +
+        f"${res.map(_._4).sum}%,d final-batch state rows, " +
+        f"$wall%.1f s, zero errors, state linear in R")
       spark.stop()
       return
     }
@@ -420,18 +563,6 @@ object ScaleStress {
     val tB = System.nanoTime()
     buildDir(spark, srcDir, outDir, rep)
     println(f"[stress] built $outDir in ${(System.nanoTime() - tB) / 1e9}%.1f s")
-
-    if (mode == "streams") {
-      val tS = System.nanoTime()
-      val res = runStreamFamily(spark, outDir, "file")
-      val wall = (System.nanoTime() - tS) / 1e9
-      assert(res.forall(_._2 > 0), "a stream query returned no rows at ×" + rep)
-      println(f"[stress] stream family ×$rep via file sink: " +
-        f"${res.size} queries, ${res.map(_._2).sum}%,d total rows, " +
-        f"$wall%.1f s, zero errors")
-      spark.stop()
-      return
-    }
 
     // clique ground truth: docs eligible for the 2-shingle pipelines
     val nElig = Tables.documents(spark, outDir)

@@ -76,6 +76,50 @@ object DedupQueries {
         FetchIdsPerPartitionDefault
       }
 
+  /** Scan bytes per partition for the BUCKET-AGGREGATION exchanges —
+    * the blocking groupBys that collect (band/chunk/key → member
+    * structs). With AQE off (see [[dedupSession]]) those exchanges
+    * otherwise run at the session's static shuffle partitions, and at
+    * distinct ×512 that WAS q35's wall (r11 stage maps: 43 M member
+    * structs over 32 partitions — 207 s of spill-bound collect_list,
+    * the exact analog of the verify-width fix one stage earlier).
+    * Sizing basis: the corpus SCAN's plan-time size estimate (free —
+    * parquet footer file sizes; no extra action). Member-struct volume
+    * runs ~3–20× compressed scan bytes on this testdata (tiny docs,
+    * fixed ~200 B structs × 17 keys/doc), so 2 MB of scan bytes per
+    * partition lands bucket partitions at roughly 8–64 MB of shuffled
+    * structs — inside a task's execution share with headroom. Clamped
+    * to [session shuffle partitions, 16384]: the floor keeps gate-scale
+    * plans unchanged, the ceiling bounds task-count blowup if a stats
+    * estimate is ever wildly inflated (a LogicalRDD with unknown stats
+    * reports defaultSizeInBytes ≈ Long.Max and is treated as unknown →
+    * session partitions).
+    */
+  private[graft] val BucketScanBytesKey =
+    "spark.graft.dedup.bucketScanBytesPerPartition"
+  private[graft] val BucketScanBytesDefault: Long = 2L * 1024 * 1024
+  private[graft] val BucketMaxParts = 16384
+
+  /** Bucket-agg partition count for a pipeline whose corpus scan is
+    * `scan` (see [[BucketScanBytesKey]]). Deterministic per run: reads
+    * plan-time stats, never runs a job.
+    */
+  private[graft] def bucketAggParts(scan: DataFrame): Int = {
+    val s = scan.sparkSession
+    val base = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val per = s.conf.get(BucketScanBytesKey, BucketScanBytesDefault.toString)
+      .trim.toLongOption.filter(_ > 0).getOrElse {
+        System.err.println(s"[graft] $BucketScanBytesKey is not a " +
+          s"positive long; using $BucketScanBytesDefault")
+        BucketScanBytesDefault
+      }
+    val bytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
+    // > 1 PB ⇒ the "unknown size" sentinel (defaultSizeInBytes), not a
+    // real corpus measurement — fall back to the session's static width
+    if (bytes <= 0 || bytes > BigInt(1L << 50)) base
+    else math.max(base, (bytes / per + 1).min(BigInt(BucketMaxParts)).toInt)
+  }
+
   /** Storage level for PAIR/OUTPUT-sized eager materializations,
     * stored SERIALIZED by default. The plain localCheckpoint keeps
     * deserialized UnsafeRow objects in the memory store — per-row
@@ -217,6 +261,8 @@ object DedupQueries {
       .foreach(s2.conf.set(PairDiskMinKey, _))
     s.conf.getOption(FetchIdsPerPartitionKey)
       .foreach(s2.conf.set(FetchIdsPerPartitionKey, _))
+    s.conf.getOption(BucketScanBytesKey)
+      .foreach(s2.conf.set(BucketScanBytesKey, _))
     s2
   }
 
@@ -242,15 +288,17 @@ object DedupQueries {
     * expansion is output-sized by construction.
     */
   private def bucketPairs(buckets: DataFrame,
-      cap: Int = MaxBucket): DataFrame =
+      cap: Int = MaxBucket, width: Int = -1): DataFrame =
     buckets
       .filter(size(col("ids")).between(2, cap))
       // AQE rightly coalesces the (tiny) bucket shuffle to ~1 post-
       // shuffle partition — but the stage BELOW is the quadratic pair
       // expansion, the pipeline's heavy compute. Spread the bucket
       // rows back across the cluster first (explicit repartition is
-      // exempt from AQE coalescing; the exchange is bucket-sized).
-      .repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+      // exempt from AQE coalescing; the exchange is bucket-sized) —
+      // at least bucket-table-wide when the caller sized the agg.
+      .repartition(math.max(
+        buckets.sparkSession.sparkContext.defaultParallelism, width))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
@@ -340,7 +388,9 @@ object DedupQueries {
     // pool under 32 concurrent builds ("Can't acquire … to build hash
     // relation") — the flood regime never sees this because its
     // candidates are almost all exact-signature short-circuited.
-    // ~16k rows/partition bounds builds at ~2–50 MB; the pre-join
+    // Ids-per-build sizing is owned by [[FetchIdsPerPartitionKey]]'s
+    // scaladoc (4096 ids ≈ ≤12 MB builds under the per-task
+    // execution-memory cap — r11 re-sizing); the pre-join
     // repartition satisfies the join's distribution so the planner
     // aligns the stream side to it (no extra exchange on the build
     // side, and the exchanges are candidate-sized either way). AQE
@@ -379,23 +429,46 @@ object DedupQueries {
     if (sys.props.get("graft.audit.nofinal").contains("true")) df
     else graft.RoundStats.timed(tag) { bigCheckpoint(df) }
 
-  /** Exact Jaccard over DISTINCT arrays — both call sites feed
-    * `array_distinct`-ed features (shingle2Of / gram3Of), so
-    * |a ∪ b| = |a| + |b| − |a ∩ b| holds exactly and the union array
-    * — the expensive half of the naive form (a second hash build PLUS
-    * a union-sized result array materialized per candidate pair) — is
-    * never built. The verify join is the per-pair hot path at scale:
-    * billions of candidates at 100 TB each save one array
-    * materialization. Values are bit-identical to the intersect/union
-    * form (same integer counts, same division), so the DuckDB oracle
-    * and the J==1.0/0.5 spec equalities are unaffected. The repeated
-    * `inter` is evaluated once per row (deterministic subexpression
+  /** Exact Jaccard over the HASHED feature encoding: both sides are
+    * sorted distinct 64-bit shingle/gram hash arrays (the same `hs`
+    * encoding the (n, h1, h2) exact-signature shortcut hashes), so
+    * |a ∩ b| is one codegen'd merge pass ([[SortedIntersectCount]] —
+    * no hash-set build, no boxing, no intersection array materialized
+    * per pair) and |a ∪ b| = |a| + |b| − |a ∩ b| holds exactly. The
+    * verify join is the per-pair hot path at scale — billions of
+    * candidates at 100 TB each save an `array_intersect` hash build
+    * (r12: gram_final was 3426 corpus-linear CPU-s at distinct ×512
+    * on the string-array form).
+    *
+    * Hash-space exactness: within a doc `array_distinct` over hashes
+    * equals distinct-over-strings unless two of its shingles collide
+    * in 64 bits (~n²/2⁶⁵ per doc); across a pair the intersection
+    * count differs only if a shingle unique to one side collides with
+    * a different shingle unique to the other (~n_a·n_b/2⁶⁴ per pair,
+    * ~5e-12 at 10k-gram docs). Both are orders below the accepted
+    * 2⁻¹²⁸ exact-signature shortcut odds this family already rests
+    * on; integer counts and the final division are otherwise
+    * BIT-IDENTICAL to the string form, so the DuckDB oracle and the
+    * J==1.0/0.5 spec equalities are unaffected. The repeated `inter`
+    * is evaluated once per row (deterministic subexpression
     * elimination in the codegen'd project).
     */
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
+    val inter = graft.functions.SortedIntersectCount(a, b).cast("double")
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
+
+  /** (doc_id, feature array<string>) → (doc_id, hsh): the sorted
+    * distinct 64-bit hash encoding of the feature set — the verify
+    * fetch's payload (8 B/feature vs ~20 B strings, and [[jaccard]]'s
+    * merge-pass input). Identical construction to the `hs` arrays the
+    * exact-signature (n, h1, h2) fields hash, so shortcut and verify
+    * agree on the encoding.
+    */
+  private def hashedFeatures(df: DataFrame, featCol: String): DataFrame =
+    df.select(col("doc_id"),
+      array_sort(array_distinct(Hashing.shingleHashes(col(featCol))))
+        .as("hsh"))
 
   // ---------------------------------------------------------------- q34
   /** Exact content dedup: canonical text → keeper (min doc_id) + copy
@@ -496,7 +569,28 @@ object DedupQueries {
     * before re-running the shingle map, so its cost follows the
     * candidate count, not the corpus (see [[attachFeaturesBy]]).
     */
+  /** (doc_id, shingles) → (m, band, key): the member struct (id, the
+    * (n, h1, h2) exact-content signature, the bottom-16 k-min sketch)
+    * exploded over its 17 blocking keys — 16 LSH band keys plus the
+    * uncapped exact-signature key space at band index 16. Factored
+    * (r12) so the symmetric pipeline and q136's asymmetric index/probe
+    * sides key IDENTICALLY — a drifted key construction on one side
+    * would silently miss candidates.
+    */
+  private def minHashKeyed(sh: DataFrame): DataFrame =
+    Hashing.minHashSignaturesWithContent(sh, "doc_id", "shingles", 128)
+      .select(struct(col("doc_id"),
+          size(col("hs")).as("n"),
+          xxhash64(col("hs")).as("h1"),
+          xxhash64(lit("s2"), col("hs")).as("h2"),
+          slice(col("hs"), 1, 16).as("sk")).as("m"),
+        posexplode(concat(
+          Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
+          array(xxhash64(lit("exact-sig"), col("sig")))))
+          .as(Seq("band", "key")))
+
   private[graft] def minHashPairs(raw: DataFrame): DataFrame = {
+    val bucketParts = bucketAggParts(raw)
     val sh = shingle2Of(raw)
     // Band keys PLUS an exact-signature key (band index 16, the q37
     // salted-h1 move, r7): an exact-dup clique larger than MaxBucket
@@ -514,17 +608,7 @@ object DedupQueries {
     // vs q37's 8.2 s on the same corpus).
     // `sk` (bottom-16 shingle hashes) rides in the member struct as
     // the LEVEL-2 re-block key space — same shape as q37's sketch.
-    val keyed = Hashing.minHashSignaturesWithContent(sh, "doc_id",
-        "shingles", 128)
-      .select(struct(col("doc_id"),
-          size(col("hs")).as("n"),
-          xxhash64(col("hs")).as("h1"),
-          xxhash64(lit("s2"), col("hs")).as("h2"),
-          slice(col("hs"), 1, 16).as("sk")).as("m"),
-        posexplode(concat(
-          Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
-          array(xxhash64(lit("exact-sig"), col("sig")))))
-          .as(Seq("band", "key")))
+    val keyed = minHashKeyed(sh)
     // Pair-volume upper bound per bucket, riding the bucket
     // checkpoint's own job (no extra action): exact/small buckets
     // expand to exactly C(sz,2); an oversized band bucket re-blocks
@@ -534,7 +618,13 @@ object DedupQueries {
     val szEst = size(col("members")).cast("long")
     val obsEst = Observation()
     val buckets = graft.RoundStats.timed("minhash_buckets") {
+      // scan-stat-sized exchange (see bucketAggParts): the explicit
+      // repartition carries the groupBy's own hash distribution, so
+      // the aggregate adds no second exchange — the one shuffle of
+      // member structs just runs at corpus-proportional width instead
+      // of the session's static partitions
       bigCheckpoint(keyed
+        .repartition(bucketParts, col("band"), col("key"))
         .groupBy("band", "key").agg(collect_list("m").as("members"))
         .filter(size(col("members")) >= 2)
         .observe(obsEst, coalesce(sum(
@@ -564,6 +654,9 @@ object DedupQueries {
       .distinct()
     val reblocked = overflow
       .select(col("m"), explode(slice(col("m.sk"), 1, 4)).as("subkey"))
+      // overflow-population-sized, but under a flood EVERY band bucket
+      // overflows and the population is corpus-sized — same width
+      .repartition(bucketParts, col("subkey"))
       .groupBy("subkey").agg(collect_list("m").as("members"))
       .observe("minhash_reblock",
         count(when(size(col("members")) > MaxBucket, 1))
@@ -573,8 +666,11 @@ object DedupQueries {
       .filter(size(col("members")).between(2, MaxBucket))
     def expand(b: DataFrame, cap: Int): DataFrame = b
       .filter(size(col("members")) <= cap)
-      // spread the quadratic pair expansion (cf. bucketPairs)
-      .repartition(b.sparkSession.sparkContext.defaultParallelism)
+      // spread the quadratic pair expansion (cf. bucketPairs); at
+      // least as wide as the bucket table itself (don't funnel a
+      // corpus-proportional bucket set back down to core count)
+      .repartition(math.max(
+        b.sparkSession.sparkContext.defaultParallelism, bucketParts))
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -591,8 +687,8 @@ object DedupQueries {
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
       pairs.filter(!col("exact")).select(col("a"), col("b")),
-      ids => shingle2Of(raw.join(ids, "doc_id")),
-      "doc_id", "shingles", tag = "minhash")
+      ids => hashedFeatures(shingle2Of(raw.join(ids, "doc_id")), "shingles"),
+      "doc_id", "hsh", tag = "minhash")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
     exactPairs.union(verified)
@@ -601,14 +697,170 @@ object DedupQueries {
   private def q35(s0: SparkSession, dir: String): DataFrame =
     nearDupPairs(s0, dir).orderBy("a", "b")
 
+  // --------------------------------------------------------------- q136
+  /** Incremental (asymmetric) near-dup dedup — the production shape the
+    * symmetric family doesn't cover (VERDICT r11 #3): dedup a NEW
+    * shard against an EXISTING corpus without recomputing any
+    * corpus-vs-corpus pair. This is the daily-increment job a 100 TB
+    * training-data pipeline runs: the corpus side's blocking index is
+    * a STANDING table (built once, memoized per dir here — the same
+    * cold/warm pattern as IvfAnn's persisted index; a deployment
+    * writes it to storage and the daily job only ever scans it), and
+    * each increment pays index-PROBE cost proportional to the shard,
+    * not the corpus.
+    *
+    * Shard convention (data-derived so one static oracle covers every
+    * dir): new = doc_id ≥ max(doc_id)·4/5 (integer division) — the
+    * most recent ~20% of ids. Output: every near-dup pair involving a
+    * new doc — new-vs-base (`vs_base`, the "drop b, it already exists"
+    * rows) and new-vs-new (the shard's own dups) — with exact Jaccard
+    * ≥ 0.5 on word-2-shingles, the same contract as q35 restricted to
+    * pairs touching the increment.
+    *
+    * Mechanics: the index is the base corpus's (band, key) bucket
+    * table — singletons INCLUDED (a new doc must be able to pair with
+    * a lone base doc; the symmetric pipeline's ≥2 filter is an
+    * optimization this probe can't share) — capped at [[MaxBucket]]
+    * for the 16 LSH bands with the exact-signature band uncapped, plus
+    * the level-2 re-block of oversized-bucket members on their
+    * bottom-4 sketch keys (singletons again kept). New-shard keyed
+    * rows equi-join the index on (band, key) — shuffle-hash with the
+    * index as build side, each partition's build bounded by the same
+    * scan-stat width as the bucket aggs — and members expand to
+    * (base, new) candidates; new docs that hit an oversized key probe
+    * the re-block index through their own bottom-4 keys (the same
+    * P ≈ 1-(1-J)^4 recovery as the symmetric level 2). The exact
+    * (n, h1, h2) shortcut and the candidate-pruned hashed-feature
+    * verify then run unchanged; new-vs-new pairs come from the
+    * symmetric pipeline on the shard alone. Recall guarantees are
+    * exactly q35's, restricted to pairs touching the increment —
+    * IncrementalDedupSpec asserts increment ∪ base-only ≡ a full
+    * symmetric rerun at gate scale.
+    */
+  private val incrIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, DataFrame, DataFrame)]
+
+  /** The standing corpus-side index for `dir`: (split, level-1 bucket
+    * table, level-2 re-block table), built from docs with
+    * doc_id < split and memoized (cold build, warm probes).
+    */
+  private def incrementalIndex(s0: SparkSession, dir: String): (Long, DataFrame, DataFrame) =
+    incrIndexCache.getOrElseUpdate(dir, {
+      val s = dedupSession(s0)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val split = docs.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+      val rawBase = fanOut(docs.filter(col("doc_id") < split))
+      val bucketParts = bucketAggParts(rawBase)
+      val buckets = graft.RoundStats.timed("incr_index") {
+        bigCheckpoint(minHashKeyed(shingle2Of(rawBase))
+          .repartition(bucketParts, col("band"), col("key"))
+          .groupBy("band", "key").agg(collect_list("m").as("members"))) }
+      val reblock = graft.RoundStats.timed("incr_reblock") {
+        bigCheckpoint(buckets
+          .filter(col("band") < 16 && size(col("members")) > MaxBucket)
+          .select(explode(col("members")).as("m"))
+          .distinct()
+          .select(col("m"), explode(slice(col("m.sk"), 1, 4)).as("subkey"))
+          .repartition(bucketParts, col("subkey"))
+          .groupBy("subkey").agg(collect_list("m").as("members"))
+          // a sub-bucket that ALSO overflows is dropped, never
+          // silently (cf. minHashPairs's level 2)
+          .observe("incr_reblock_drops",
+            count(when(size(col("members")) > MaxBucket, 1))
+              .as("dropped_subbuckets"))
+          .filter(size(col("members")) <= MaxBucket)) }
+      (split, buckets, reblock)
+    })
+
+  /** q136's pair pipeline: every near-dup pair (J ≥ 0.5, 2-shingles)
+    * touching the increment (doc_id ≥ split), without recomputing any
+    * base-vs-base pair. See the q136 scaladoc above for the design.
+    */
+  private[graft] def incrementalPairs(s0: SparkSession, dir: String): DataFrame = {
+    val (split, buckets, reblock) = incrementalIndex(s0, dir)
+    val s = buckets.sparkSession // the index's dedup session (AQE off)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val rawNew = fanOut(docs.filter(col("doc_id") >= split))
+    val raw = fanOut(docs)
+    val newKeyed = graft.RoundStats.timed("incr_probe_keys") {
+      minHashKeyed(shingle2Of(rawNew)).localCheckpoint() }
+    // Level-1 probe: capped LSH buckets + the uncapped exact band.
+    // The index side builds the hash relation (shuffle-hash, never a
+    // corpus-sized broadcast); its checkpoint PRESERVES the bucket
+    // agg's (band, key) hashpartitioning, so only the probe side
+    // exchanges.
+    val l1 = newKeyed
+      .join(buckets.filter(col("band") === 16 ||
+        size(col("members")) <= MaxBucket).hint("shuffle_hash"),
+        Seq("band", "key"))
+      .select(col("m").as("y"), explode(col("members")).as("x"))
+    // Level-2 probe: new docs stranded on an oversized key re-key on
+    // their OWN bottom-4 sketch entries against the re-block index.
+    val hitOversized = newKeyed
+      .join(buckets.filter(col("band") < 16 &&
+          size(col("members")) > MaxBucket).select("band", "key"),
+        Seq("band", "key"), "left_semi")
+      .select(col("m")).distinct()
+    val l2 = hitOversized
+      .select(col("m").as("y"), explode(slice(col("m.sk"), 1, 4)).as("subkey"))
+      .join(reblock.hint("shuffle_hash"), Seq("subkey"))
+      .select(col("y"), explode(col("members")).as("x"))
+    val nbCands = graft.RoundStats.timed("incr_cands") {
+      bigCheckpoint(l1.union(l2)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
+            col("x.h2") === col("y.h2")).as("exact"))
+        .distinct()) }
+    val exactNB = nbCands.filter(col("exact"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    val verifiedNB = attachFeaturesBy(
+      nbCands.filter(!col("exact")).select(col("a"), col("b")),
+      ids => hashedFeatures(shingle2Of(raw.join(ids, "doc_id")), "shingles"),
+      "doc_id", "hsh", tag = "incr")
+      .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    // New-vs-new: the symmetric pipeline on the shard alone — shard-
+    // sized work, the corpus side never re-pairs.
+    val nn = minHashPairs(rawNew)
+    finalStage("incr_final") {
+      exactNB.union(verifiedNB).union(nn)
+        .select(col("a"), col("b"), col("jaccard"),
+          (col("a") < split).as("vs_base"))
+    }
+  }
+
+  /** Base-only symmetric run (docs with doc_id < split) — the
+    * "yesterday's corpus" q35; IncrementalDedupSpec and the
+    * ScaleStress distinct hook assert base ∪ increment ≡ full rerun.
+    */
+  private[graft] def nearDupPairsBelow(s0: SparkSession, dir: String,
+      split: Long): DataFrame = {
+    val s = dedupSession(s0)
+    minHashPairs(fanOut(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < split)))
+  }
+
+  /** The split the incremental convention derives for `dir` (exposed
+    * for specs/harnesses; builds or reuses the memoized index).
+    */
+  private[graft] def incrementalSplit(s0: SparkSession, dir: String): Long =
+    incrementalIndex(s0, dir)._1
+
+  private def q136(s0: SparkSession, dir: String): DataFrame =
+    incrementalPairs(s0, dir).orderBy("a", "b")
+
   // ---------------------------------------------------------------- q36
   /** Capped-bucket pair expansion over (doc_id, sim) member structs:
     * explode → a<b → Hamming filter. Shared by both blocking levels.
     */
-  private def memberPairs(buckets: DataFrame, maxHamming: Int): DataFrame =
+  private def memberPairs(buckets: DataFrame, maxHamming: Int,
+      width: Int = -1): DataFrame =
     buckets
-      // spread the quadratic pair expansion (cf. bucketPairs)
-      .repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+      // spread the quadratic pair expansion (cf. bucketPairs), at
+      // least bucket-table-wide when the caller sized the bucket agg
+      .repartition(math.max(
+        buckets.sparkSession.sparkContext.defaultParallelism, width))
       .select(explode(col("members")).as("m"), col("members"))
       .select(col("m"), explode(col("members")).as("n"))
       .filter(col("m.doc_id") < col("n.doc_id"))
@@ -638,6 +890,10 @@ object DedupQueries {
     */
   private[graft] def simHashPairs(docs: DataFrame,
       maxHamming: Int = 7): DataFrame = {
+    // scan-stat-sized bucket exchanges (cf. minHashPairs) — sized off
+    // `docs`' own plan stats (the (id, code) projection), the actual
+    // pre-shuffle relation here
+    val bucketParts = bucketAggParts(docs)
     // `buckets` feeds BOTH level filters — materialize once so the
     // signature pipeline upstream isn't recomputed (cf. attachFeatures)
     // pair-volume estimate riding the checkpoint job (cf. minHashPairs;
@@ -652,6 +908,7 @@ object DedupQueries {
         .select(col("doc_id"), col("sim"),
           posexplode(Hashing.simHashChunks(col("sim")))
             .as(Seq("chunk_idx", "chunk")))
+        .repartition(bucketParts, col("chunk_idx"), col("chunk"))
         .groupBy("chunk_idx", "chunk")
         .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
         .filter(size(col("members")) >= 2)
@@ -668,6 +925,9 @@ object DedupQueries {
       .select(col("chunk_idx"), col("chunk"), col("m"),
         posexplode(Hashing.simHashSubChunks(col("m.sim"), col("chunk_idx")))
           .as(Seq("sub_idx", "sub")))
+      // corpus-sized under a flood (cf. minHashPairs's reblock)
+      .repartition(bucketParts, col("chunk_idx"), col("chunk"),
+        col("sub_idx"), col("sub"))
       .groupBy("chunk_idx", "chunk", "sub_idx", "sub")
       .agg(collect_list(col("m")).as("members"))
       // A level-2 sub-bucket can still overflow (≥65 docs agreeing on
@@ -699,12 +959,14 @@ object DedupQueries {
     val exactCliques = buckets
       .filter(col("chunk_idx") === 0)
       .select(explode(col("members")).as("m"))
+      // corpus-sized regroup (every multi-member chunk-0 bucket's docs)
+      .repartition(bucketParts, col("m.sim"))
       .groupBy(col("m.sim").as("code"))
       .agg(collect_list(col("m")).as("members"))
       .filter(size(col("members")) >= 2)
-    memberPairs(small, maxHamming)
-      .union(memberPairs(reblocked, maxHamming))
-      .union(memberPairs(exactCliques, maxHamming))
+    memberPairs(small, maxHamming, bucketParts)
+      .union(memberPairs(reblocked, maxHamming, bucketParts))
+      .union(memberPairs(exactCliques, maxHamming, bucketParts))
       // dedup across chunk tables AFTER the cheap Hamming filter:
       // the exchange carries only true near-dup pairs
       .distinct()
@@ -863,6 +1125,7 @@ object DedupQueries {
     * (factored for the flood spec, cf. [[minHashPairs]]).
     */
   private[graft] def gramJaccardPairs(raw: DataFrame): DataFrame = {
+    val bucketParts = bucketAggParts(raw)
     val docs = gram3Of(raw)
     // Bind the sorted hash array as an attribute before fanning it
     // into h1/h2/sk (cf. q36: unbound HOF chains re-evaluate per
@@ -904,7 +1167,9 @@ object DedupQueries {
     val szEst = size(col("members")).cast("long")
     val obsEst = Observation()
     val buckets = graft.RoundStats.timed("gram_buckets") {
+      // scan-stat-sized exchange (cf. minhash_buckets)
       bigCheckpoint(keyed
+        .repartition(bucketParts, col("minkey"), col("isx"))
         .groupBy("minkey", "isx").agg(collect_list("m").as("members"))
         .filter(size(col("members")) >= 2)
         .observe(obsEst, coalesce(sum(
@@ -937,11 +1202,15 @@ object DedupQueries {
       .select(col("minkey"), col("m"),
         explode(when(size(col("m.sk")) >= 5, slice(col("m.sk"), 5, 4))
           .otherwise(col("m.sk"))).as("subkey"))
+      // corpus-sized under a flood (cf. minHashPairs's reblock)
+      .repartition(bucketParts, col("minkey"), col("subkey"))
       .groupBy("minkey", "subkey").agg(collect_list("m").as("members"))
       .filter(size(col("members")).between(2, MaxBucket))
     def expandSigPairs(b: DataFrame): DataFrame = b
-      // spread the quadratic pair expansion (cf. bucketPairs)
-      .repartition(b.sparkSession.sparkContext.defaultParallelism)
+      // spread the quadratic pair expansion (cf. bucketPairs), at
+      // least bucket-table-wide (cf. minHashPairs's expand)
+      .repartition(math.max(
+        b.sparkSession.sparkContext.defaultParallelism, bucketParts))
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -974,8 +1243,8 @@ object DedupQueries {
     val toVerify = pairs.filter(!col("exact") && col("plausible"))
       .select(col("a"), col("b"))
     val verified = attachFeaturesBy(toVerify,
-      ids => gram3Of(raw.join(ids, "doc_id")),
-      "doc_id", "grams", tag = "gram")
+      ids => hashedFeatures(gram3Of(raw.join(ids, "doc_id")), "grams"),
+      "doc_id", "hsh", tag = "gram")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
     // The exact-Jaccard verify join is the pipeline's last (and, on a
@@ -999,6 +1268,8 @@ object DedupQueries {
     * its pairs (output-sized by construction).
     */
   private[graft] def embeddingPairs(emb: DataFrame): DataFrame = {
+    // scan-stat-sized bucket exchange (cf. minHashPairs)
+    val bucketParts = bucketAggParts(emb)
     val coded = emb.select(col("vec_id"),
       posexplode(concat(
         Lsh.srpCodes(col("embedding"), tables = 8, bits = 8),
@@ -1006,6 +1277,7 @@ object DedupQueries {
         .as(Seq("tbl", "code")))
     val buckets = graft.RoundStats.timed("emb_buckets") {
       bigCheckpoint(coded
+        .repartition(bucketParts, col("tbl"), col("code"))
         .groupBy("tbl", "code").agg(collect_list("vec_id").as("ids"))
         // drop singleton buckets BEFORE the checkpoint (cf. the ≥2
         // filters in minHashPairs/gramJaccardPairs): the exact-emb key
@@ -1013,9 +1285,9 @@ object DedupQueries {
         // corpus, so an unfiltered checkpoint materializes a
         // corpus-sized table the pair expansion immediately discards
         .filter(size(col("ids")) >= 2)) }
-    bucketPairs(buckets.filter(col("tbl") < 8))
+    bucketPairs(buckets.filter(col("tbl") < 8), width = bucketParts)
       .union(bucketPairs(buckets.filter(col("tbl") === 8),
-        cap = Int.MaxValue))
+        cap = Int.MaxValue, width = bucketParts))
       .distinct()
   }
 
@@ -1039,11 +1311,12 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_dedup_exact"     -> (q34 _),
-    "q35_dedup_minhash"   -> (q35 _),
-    "q36_dedup_simhash"   -> (q36 _),
-    "q37_ngram_jaccard"   -> (q37 _),
-    "q38_dedup_embedding" -> (q38 _))
+    "q34_dedup_exact"       -> (q34 _),
+    "q35_dedup_minhash"     -> (q35 _),
+    "q36_dedup_simhash"     -> (q36 _),
+    "q37_ngram_jaccard"     -> (q37 _),
+    "q38_dedup_embedding"   -> (q38 _),
+    "q136_dedup_incremental" -> (q136 _))
 
   /** q35/q37 get brute-force pair oracles: at verify-scale (sf0.01,
     * 500 docs) DuckDB can compute all-pairs Jaccard exactly, and the
@@ -1078,9 +1351,35 @@ object DedupQueries {
   private def gramJaccardSql(n: Int, thresh: Double): String =
     gramJaccardPairsSql(n, thresh) + "\nORDER BY a, b"
 
+  /** q136's brute-force oracle: all-pairs 2-shingle Jaccard ≥ 0.5
+    * restricted to pairs whose HIGHER id is in the increment (new ids
+    * are the top ~20% by construction, so b ≥ split ⟺ the pair
+    * touches a new doc). `//` is DuckDB integer division — same floor
+    * as the engine's `maxId * 4 / 5` Long arithmetic.
+    */
+  private val q136Sql =
+    s"""WITH sp AS (SELECT MAX(doc_id) * 4 // 5 AS v FROM documents),
+       |toks AS (
+       |  SELECT doc_id, $tokSql AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks)),
+       |           i -> array_to_string(toks[i:i+1], ' '))) AS f
+       |  FROM toks WHERE len(toks) >= 2)
+       |SELECT * FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         CAST(len(list_intersect(x.f, y.f)) AS DOUBLE) /
+       |         CAST(len(list_distinct(list_concat(x.f, y.f))) AS DOUBLE) AS jaccard,
+       |         x.doc_id < (SELECT v FROM sp) AS vs_base
+       |  FROM feats x JOIN feats y
+       |    ON x.doc_id < y.doc_id AND y.doc_id >= (SELECT v FROM sp))
+       |WHERE jaccard >= 0.5
+       |ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q34_dedup_exact"   -> q34Sql,
-    "q35_dedup_minhash" -> gramJaccardSql(2, 0.5),
-    "q36_dedup_simhash" -> q36Sql,
-    "q37_ngram_jaccard" -> gramJaccardSql(3, 0.3))
+    "q34_dedup_exact"        -> q34Sql,
+    "q35_dedup_minhash"      -> gramJaccardSql(2, 0.5),
+    "q36_dedup_simhash"      -> q36Sql,
+    "q37_ngram_jaccard"      -> gramJaccardSql(3, 0.3),
+    "q136_dedup_incremental" -> q136Sql)
 }

@@ -158,6 +158,16 @@ object StreamingQueries {
     * CONSUMED their snapshots first — a file-mode snapshot is a LAZY
     * scan of the sink dir (count it, write it, or compare it before
     * calling this). Memory-mode runs track nothing; calling is a no-op.
+    *
+    * CONTRACT — GLOBAL delete (ADVICE r11): this reclaims the sink
+    * dirs of EVERY file-mode run since the last call, not just the
+    * caller's. The tracked list is JVM-global and the harness callers
+    * (ScaleStress stream modes, parity) are strictly sequential —
+    * each consumes its one snapshot, then sweeps. A future caller
+    * that interleaves two live lazy snapshots must either consume
+    * both before sweeping or switch this to per-run tracking (have
+    * runToSnapshot return its fileBase); until one exists, the global
+    * sweep is the simpler correct contract.
     */
   private[graft] def cleanupFileSinkDirs(): Unit = deleteTrackedSinkDirs()
 
@@ -166,8 +176,18 @@ object StreamingQueries {
     * read-back — see [[sinkMode]]), and tear everything down (shared
     * session hygiene).
     */
+  /** State-operator row counts (operatorName → numRowsTotal, from the
+    * final StreamingQueryProgress) of the LAST drained stream —
+    * published for harness assertions (ScaleStress's ×R state-bound
+    * gate, r12). Reset at each drain's start so a stateless query
+    * never reads its predecessor's state; empty when no batch ran.
+    */
+  @volatile private[graft] var lastStateRowsByOp: Seq[(String, Long)] =
+    Seq.empty
+
   private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
       mode: OutputMode): DataFrame = {
+    lastStateRowsByOp = Seq.empty
     val useFile = sinkMode == "file"
     val name = s"${prefix}_${System.nanoTime()}"
     val fileBase = s"target/stream_sink/$name"
@@ -239,6 +259,9 @@ object StreamingQueries {
       val c0 = cpuNow()
       val t0 = System.nanoTime()
       q.processAllAvailable()
+      lastStateRowsByOp = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(so => (so.operatorName, so.numRowsTotal))
       val nb = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
       graft.RoundStats.record(s"${prefix}_drain_b$nb",
         (System.nanoTime() - t0) / 1e9,

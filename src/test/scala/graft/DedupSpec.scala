@@ -275,10 +275,11 @@ class DedupSpec extends AnyFunSuite {
     import graft.queries.DedupQueries
     def docsOn(s: org.apache.spark.sql.SparkSession) =
       Tables.documents(s, sf).select(col("doc_id"), col("text"))
-    def run(threshold: String, idsPerPart: Option[String] = None) = {
+    def run(threshold: String, idsPerPart: Option[String] = None,
+        parts: Option[String] = None) = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions",
-        spark.conf.get("spark.sql.shuffle.partitions"))
+        parts.getOrElse(spark.conf.get("spark.sql.shuffle.partitions")))
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set(DedupQueries.CandBroadcastMaxKey, threshold)
       idsPerPart.foreach(s.conf.set(DedupQueries.FetchIdsPerPartitionKey, _))
@@ -303,9 +304,12 @@ class DedupSpec extends AnyFunSuite {
     // partitions). At 1 id/partition every SHJ in the verify region
     // must run wider than the session's shuffle partitions; the width
     // is set at the prune join and rides the pruned checkpoint's
-    // preserved partitioning into the attach builds.
-    val viaNarrow = run("0", idsPerPart = Some("1"))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // preserved partitioning into the attach builds. The narrow run
+    // PINS its session to 2 shuffle partitions so the assertion needs
+    // only ≥2 candidate ids, not a corpus bigger than the suite's
+    // partition setting (ADVICE r11: the suite-conf-sensitive form).
+    val viaNarrow = run("0", idsPerPart = Some("1"), parts = Some("2"))
+    val parts = 2
     val widths = viaNarrow.queryExecution.executedPlan.collect {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
         j.outputPartitioning.numPartitions
@@ -315,6 +319,76 @@ class DedupSpec extends AnyFunSuite {
       s"verify SHJ width $widths did not follow the measured candidate " +
         s"count past the session's $parts shuffle partitions")
     assert(rows(viaNarrow) === rows(viaBroadcast))
+  }
+
+  /** The bucket-aggregation exchange width
+    * (DedupQueries.BucketScanBytesKey, r12): with AQE off the blocking
+    * groupBys otherwise run at the session's static shuffle partitions
+    * — at distinct ×512 that WAS q35's wall (43 M member structs over
+    * 32 partitions). The width must (a) follow the corpus scan's
+    * plan-time size estimate through the configured bytes/partition,
+    * (b) fall back to the session width when stats are the unknown
+    * sentinel, and (c) be value-invisible.
+    */
+  test("bucket-agg width: scan stats drive the exchange, unknown stats fall back") {
+    import graft.queries.DedupQueries
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, s"$common u$i")) ++
+      (0 until 10).map(i => (1000L + i, "a b c d e f g h"))
+    def session(bytesPerPart: Option[String]) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      bytesPerPart.foreach(s.conf.set(DedupQueries.BucketScanBytesKey, _))
+      s
+    }
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // (a) the width mechanism: tiny bytes/partition ⇒ parts follow the
+    // LocalRelation's real size estimate past the session width, capped
+    val sTiny = session(Some("64"))
+    val dfTiny = sTiny.createDataFrame(docs).toDF("doc_id", "text")
+    val expected = DedupQueries.bucketAggParts(dfTiny)
+    assert(expected > base,
+      s"tiny bytes/partition must out-size the session width ($expected)")
+    assert(expected <= DedupQueries.BucketMaxParts)
+    // the width must REACH an exchange: the bucket checkpoint persists
+    // at exactly the computed partition count
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val viaWide = DedupQueries.minHashPairs(dfTiny)
+    val wideRows = viaWide.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
+    val newWidths = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before(id) }
+      .values.map(_.getNumPartitions).toSet
+    assert(newWidths.contains(expected),
+      s"no checkpoint ran at the stat-driven width $expected: $newWidths")
+    // (b1) a localCheckpoint PRESERVES its origin plan's stats (Spark 4
+    // LogicalRDD.fromDataset carries them), so a checkpointed corpus
+    // still sizes past the session width — the mechanism survives the
+    // pipelines' own materialization points
+    val ck = sTiny.createDataFrame(docs).toDF("doc_id", "text")
+      .localCheckpoint()
+    assert(DedupQueries.bucketAggParts(ck) > base,
+      "a checkpointed corpus lost its stats basis")
+    // (b2) unknown-stats sentinel: a bare RDD-backed frame reports
+    // defaultSizeInBytes (≈ Long.Max) ⇒ session width, never a
+    // 16384-task blowup
+    val rdd = sTiny.sparkContext.parallelize(docs.map { case (id, t) =>
+      org.apache.spark.sql.Row(id, t) })
+    val noStats = sTiny.createDataFrame(rdd,
+      sTiny.createDataFrame(docs).toDF("doc_id", "text").schema)
+    assert(DedupQueries.bucketAggParts(noStats) === base,
+      "unknown stats must fall back to the session's shuffle partitions")
+    // (c) value-invisible vs the default-width run
+    val sDef = session(None)
+    val defRows = DedupQueries.minHashPairs(
+        sDef.createDataFrame(docs).toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
+    assert(wideRows === defRows)
+    assert(wideRows.nonEmpty)
   }
 
   /** The pair-table storage knob (DedupQueries.PairStorageKey, r10):
