@@ -28,6 +28,36 @@ object ScaleStress {
 
   val Base = 10000000L
 
+  /** Deterministic scratch release between stress families: each
+    * pipeline's intermediate checkpoints (buckets, pair expansions,
+    * verify fetches) become garbage the moment its check returns, but
+    * their memory/disk blocks are only freed when the ContextCleaner
+    * notices the GC'd references — at ×512 that lag let three
+    * families' dead blocks stack up and exhaust the box's ~61 GB
+    * scratch inside q102's loop, and at distinct ×128 the RESIDENT
+    * blocks squeezed the execution pool under q136's probe builds
+    * ("Unable to acquire … got 0", r12). `keep` exempts the RDD
+    * ancestry of memoized tables (the q35 pair table / q102 labels
+    * later sections re-read — unpersisting a lineage-cut checkpoint
+    * would be unrecoverable, not a recompute).
+    */
+  private def ancestorIds(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+    val seen = scala.collection.mutable.Set[Int]()
+    def go(x: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(x.id)) x.dependencies.foreach(d => go(d.rdd))
+    go(r); seen.toSet
+  }
+
+  private def releasingExcept(spark: SparkSession)(keep: => Set[Int])(
+      f: => Unit): Unit = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    f
+    val keepIds = keep
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before(id) && !keepIds(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Replicate `srcDir` into `outDir` with per-replica id offsets.
     * Dims copy as-is (dims stay dims — broadcast plans unchanged);
     * fact/corpus tables offset their id column so ids stay unique.
@@ -263,16 +293,33 @@ object ScaleStress {
           "systematic recall regression, not LSH draw noise")
       total
     }
-    val baseQ35 = DedupQueries.nearDupPairs(spark, srcDir)
-    val (xQ35, sQ35) = timed { DedupQueries.nearDupPairs(spark, outDir) }
-    val q35Total = pairInvariance("q35", baseQ35, xQ35, sQ35)
+    // Sections that build corpus-sized pipeline intermediates release
+    // them on exit (cf. the flood path's releasingExcept; at ×128 the
+    // resident bucket/fetch checkpoints of three families squeezed the
+    // execution pool under q136's probe builds). q35 keeps exactly the
+    // two memoized pair tables (q112's n_near_pairs and q136's
+    // full-compare re-read them); the label-sized q102/q111/q112
+    // sections stay unwrapped (their blocks are near-dup-rate-sized,
+    // and Extended14's memoized labels must survive into q111/q112).
+    var baseQ35: DataFrame = null
+    var xQ35: DataFrame = null
+    var q35Total = 0L
+    releasingExcept(spark)(
+        ancestorIds(baseQ35.rdd) ++ ancestorIds(xQ35.rdd)) {
+      baseQ35 = DedupQueries.nearDupPairs(spark, srcDir)
+      val (x, sQ35) = timed { DedupQueries.nearDupPairs(spark, outDir) }
+      xQ35 = x
+      q35Total = pairInvariance("q35", baseQ35, xQ35, sQ35)
+    }
 
-    val baseQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, srcDir)
-      .localCheckpoint()
-    val (xQ37, sQ37) = timed {
-      SparkEntry.queries("q37_ngram_jaccard")(spark, outDir)
-        .localCheckpoint() } // output-sized: ~R × base pairs, tiny here
-    pairInvariance("q37", baseQ37, xQ37, sQ37)
+    releasingExcept(spark)(Set.empty) {
+      val baseQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, srcDir)
+        .localCheckpoint()
+      val (xQ37, sQ37) = timed {
+        SparkEntry.queries("q37_ngram_jaccard")(spark, outDir)
+          .localCheckpoint() } // output-sized: ~R × base pairs, tiny here
+      pairInvariance("q37", baseQ37, xQ37, sQ37)
+    }
 
     // ---- q36: exact-pair recall floor + linear-volume ceiling ----
     // base exact-shingle-set pairs (identical distinct-2-shingle sets):
@@ -287,15 +334,21 @@ object ScaleStress {
       .agg(coalesce(sum(col("c") * (col("c") - 1L) / 2L), lit(0L))
         .cast("long"))
       .collect()(0).getLong(0)
-    val nBase36 = DedupQueries.simHashPairsFor(spark, srcDir).count()
-    val (row36, s36) = timed {
-      // one aggregate pass, nothing output-sized (cf. cliqueCheck)
-      DedupQueries.simHashPairsFor(spark, outDir).agg(
-        count(lit(1)).as("n"),
-        count(when(replica("a") =!= replica("b"), 1)).as("cross"),
-        count(when(replica("a") === replica("b") &&
-          col("hamming") === 0, 1)).as("ham0_within"))
-        .collect()(0)
+    var nBase36 = 0L
+    var row36: org.apache.spark.sql.Row = null
+    var s36 = 0.0
+    releasingExcept(spark)(Set.empty) {
+      nBase36 = DedupQueries.simHashPairsFor(spark, srcDir).count()
+      val (r, s) = timed {
+        // one aggregate pass, nothing output-sized (cf. cliqueCheck)
+        DedupQueries.simHashPairsFor(spark, outDir).agg(
+          count(lit(1)).as("n"),
+          count(when(replica("a") =!= replica("b"), 1)).as("cross"),
+          count(when(replica("a") === replica("b") &&
+            col("hamming") === 0, 1)).as("ham0_within"))
+          .collect()(0)
+      }
+      row36 = r; s36 = s
     }
     val (n36, cross36, ham036) =
       (row36.getLong(0), row36.getLong(1), row36.getLong(2))
@@ -401,6 +454,13 @@ object ScaleStress {
     // populations differ between the full and split runs, so a
     // borderline pair's banding draw can resolve differently, but any
     // systematic probe hole (a key-space or cap bug) is orders larger.
+    // Wrapped release (cf. the q35/q37/q36 sections): the standing
+    // index and the base-only rerun are the two biggest block sets of
+    // the whole mode, all consumed inside this section. NOTE this also
+    // releases the memoized index — fine here (this is the JVM's last
+    // q136 consumer), but a longer-lived harness must keep its
+    // ancestry like the q35 pair table.
+    releasingExcept(spark)(Set.empty) { locally {
     val split136 = DedupQueries.incrementalSplit(spark, outDir)
     val (xIncr, sIncr) = timed {
       DedupQueries.incrementalPairs(spark, outDir).localCheckpoint() }
@@ -431,6 +491,7 @@ object ScaleStress {
     assert(nearDev136 <= math.max(4L, q35Total / 1000L),
       s"q136 ∪ base-only near-pair deviation $nearDev136 exceeds 0.1% — " +
         "systematic incremental recall hole, not LSH draw noise")
+    } }
 
     println(f"[stress] distinct ×$rep: corpus ×$rep, pair volume linear " +
       "(≈ R × base) — the constant-near-dup-rate regime holds")
@@ -580,29 +641,6 @@ object ScaleStress {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    // Deterministic scratch release between families: each pipeline's
-    // intermediate checkpoints (buckets, pair expansions, verify
-    // fetches) become garbage the moment its check returns, but their
-    // disk blocks are only freed when the ContextCleaner notices the
-    // GC'd references — at ×512 that lag let three families' dead
-    // blocks stack up and exhaust the box's ~61 GB scratch inside
-    // q102's loop. `keep` exempts the RDD ancestry of memoized tables
-    // (the q35 pair table q102 re-reads — unpersisting a lineage-cut
-    // checkpoint would be unrecoverable, not a recompute).
-    def ancestorIds(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
-      val seen = scala.collection.mutable.Set[Int]()
-      def go(x: org.apache.spark.rdd.RDD[_]): Unit =
-        if (seen.add(x.id)) x.dependencies.foreach(d => go(d.rdd))
-      go(r); seen.toSet
-    }
-    def releasingExcept(keep: => Set[Int])(f: => Unit): Unit = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      f
-      val keepIds = keep
-      spark.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => !before(id) && !keepIds(id) }
-        .values.foreach(_.unpersist(blocking = false))
-    }
     def cliqueCheck(name: String, wantPairs: Long): Unit = {
       // q36's QUERY entry is the one-row contract view; its pair set —
       // what clique recall is about — comes from the factored pair
@@ -633,10 +671,10 @@ object ScaleStress {
         f"(${100.0 * clique / wantPairs}%.2f%%)")
       assert(clique == wantPairs, s"$name lost ${wantPairs - clique} clique pairs")
     }
-    releasingExcept(Set.empty) { cliqueCheck("q36_dedup_simhash", want) }
+    releasingExcept(spark)(Set.empty) { cliqueCheck("q36_dedup_simhash", want) }
     // q35's check builds the memoized pair table q102 re-reads — keep
     // exactly its ancestry, release the pipeline's other checkpoints
-    releasingExcept(ancestorIds(
+    releasingExcept(spark)(ancestorIds(
         graft.queries.DedupQueries.nearDupPairs(spark, outDir).rdd)) {
       cliqueCheck("q35_dedup_minhash", want)
     }
@@ -644,7 +682,7 @@ object ScaleStress {
     // candidate used to need a corpus-sized gram fetch (16.6 s in r5);
     // the exact-signature shortcut must keep recall at 1 while the
     // verify stage sees only the non-exact remainder.
-    releasingExcept(Set.empty) { cliqueCheck("q37_ngram_jaccard", want37) }
+    releasingExcept(spark)(Set.empty) { cliqueCheck("q37_ngram_jaccard", want37) }
 
     // q102 at ×R: cluster structure over the replicated pair graph.
     // Every base doc's R replicas are an exact-copy clique, so every
@@ -656,7 +694,7 @@ object ScaleStress {
     // consumers all live inside this block (q111/q112 reuse is a gate
     // concern, not a stress one), and the loop's per-round checkpoints
     // are pure scratch
-    releasingExcept(Set.empty) { locally {
+    releasingExcept(spark)(Set.empty) { locally {
       val (labels, secs) = timed {
         SparkEntry.queries("q102_dedup_cluster")(spark, outDir)
           .localCheckpoint()

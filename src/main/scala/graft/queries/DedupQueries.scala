@@ -676,7 +676,15 @@ object DedupQueries {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
-          col("x.h2") === col("y.h2")).as("exact"))
+          col("x.h2") === col("y.h2")).as("exact"),
+        // EXACT necessary condition (q37's documented size-ratio move,
+        // applied here r12): J = |∩|/|∪| ≤ n_min/n_max, so ratio < 0.5
+        // provably fails the threshold — zero false negatives, and the
+        // verify fetch/join shrink by every banding collision between
+        // very differently-sized docs.
+        (least(col("x.n"), col("y.n")).cast("double") /
+            greatest(col("x.n"), col("y.n")).cast("double") >= 0.5)
+          .as("plausible"))
     val pairs = graft.RoundStats.timed("minhash_expand") {
       // feeds two consumers (shortcut + verify): materialize once
       bigCheckpoint(expand(buckets.filter(col("band") < 16), MaxBucket)
@@ -686,7 +694,8 @@ object DedupQueries {
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
-      pairs.filter(!col("exact")).select(col("a"), col("b")),
+      pairs.filter(!col("exact") && col("plausible"))
+        .select(col("a"), col("b")),
       ids => hashedFeatures(shingle2Of(raw.join(ids, "doc_id")), "shingles"),
       "doc_id", "hsh", tag = "minhash")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
@@ -750,7 +759,19 @@ object DedupQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val split = docs.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
       val rawBase = fanOut(docs.filter(col("doc_id") < split))
-      val bucketParts = bucketAggParts(rawBase)
+      // Index PROBE-JOIN width — 4× finer than the flow-through bucket
+      // shuffles: the l1/l2 probe joins BUILD their hash relations
+      // from these checkpoints (the preserved partitioning IS the join
+      // width), an SHJ build's in-memory relation runs ~2× its
+      // serialized bytes with ZERO spill, and the per-task execution
+      // share (~pool/threads) is also feeding the probe explode and
+      // the candidate distinct in the same stage. Measured at distinct
+      // ×128 (r12): the 2 MB/partition width put single builds at
+      // ~35 MB serialized / ~70 MB resident and 32 concurrent tasks
+      // exhausted the pool ("Unable to acquire … got 0"); 4× finer ≈
+      // ≤12 MB builds — the same budget as fetchIdsPerPartition.
+      val bucketParts =
+        math.min(BucketMaxParts, bucketAggParts(rawBase) * 4)
       val buckets = graft.RoundStats.timed("incr_index") {
         bigCheckpoint(minHashKeyed(shingle2Of(rawBase))
           .repartition(bucketParts, col("band"), col("key"))
@@ -809,12 +830,17 @@ object DedupQueries {
       bigCheckpoint(l1.union(l2)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           (col("x.n") === col("y.n") && col("x.h1") === col("y.h1") &&
-            col("x.h2") === col("y.h2")).as("exact"))
+            col("x.h2") === col("y.h2")).as("exact"),
+          // exact size-ratio bound, cf. minHashPairs's expand
+          (least(col("x.n"), col("y.n")).cast("double") /
+              greatest(col("x.n"), col("y.n")).cast("double") >= 0.5)
+            .as("plausible"))
         .distinct()) }
     val exactNB = nbCands.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verifiedNB = attachFeaturesBy(
-      nbCands.filter(!col("exact")).select(col("a"), col("b")),
+      nbCands.filter(!col("exact") && col("plausible"))
+        .select(col("a"), col("b")),
       ids => hashedFeatures(shingle2Of(raw.join(ids, "doc_id")), "shingles"),
       "doc_id", "hsh", tag = "incr")
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
