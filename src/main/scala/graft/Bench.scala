@@ -95,6 +95,10 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "5")
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "100")
+      // compress persisted serialized/DISK_ONLY blocks (cf. ScaleStress:
+      // at xR the dedup pair/bucket checkpoints are the scratch-disk
+      // volume; lz4 shrinks the highly-redundant blocks several-fold)
+      .config("spark.rdd.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional local-iteration subset (driver runs the full set)

@@ -204,8 +204,17 @@ object MicroBench {
     // bit-identical (asserted); at 100 TB the candidate count is
     // billions, so the per-pair saving is a verify-stage lever.
     locally {
-      val pairs = docs.select(col("shingles").as("sa"))
-        .crossJoin(docs.limit(200).select(col("shingles").as("sb")))
+      // `ha`/`hb` are the r12 production encoding: sorted distinct
+      // 64-bit shingle hashes, computed once per DOC on the map side
+      // (the fetch ships them instead of strings) — the micro charges
+      // each variant only its per-PAIR work, which is what scales
+      // with billions of candidates.
+      def hashedOf(c: org.apache.spark.sql.Column) =
+        array_sort(array_distinct(Hashing.shingleHashes(c)))
+      val pairs = docs.select(col("shingles").as("sa"),
+          hashedOf(col("shingles")).as("ha"))
+        .crossJoin(docs.limit(200).select(col("shingles").as("sb"),
+          hashedOf(col("shingles")).as("hb")))
         .repartition(32).persist()
       val nPairs = pairs.count()
       def unionFree = {
@@ -234,6 +243,23 @@ object MicroBench {
       assert(nn.getLong(0) == nn.getLong(1),
         s"jaccard forms null-parity mismatch: union-free has ${nn.getLong(0)} " +
           s"non-null pairs, naive has ${nn.getLong(1)}")
+      // r12: the shipped verify — codegen'd two-pointer merge over the
+      // hashed encoding (SortedIntersectCount), no per-pair hash-set
+      // build, no boxing, no intersection array. Value-identical to
+      // the string forms except under 64-bit cross-collisions
+      // (~n_a·n_b/2⁶⁴ per pair — zero on this fixture, asserted).
+      def merged = {
+        val inter = graft.functions
+          .SortedIntersectCount(col("ha"), col("hb")).cast("double")
+        inter / (size(col("ha")).cast("double") +
+          size(col("hb")).cast("double") - inter)
+      }
+      val diffMerged = pairs.select(sum(abs(merged - unionFree))).collect()(0)
+      assert(!diffMerged.isNullAt(0) && diffMerged.getDouble(0) == 0.0,
+        s"hashed merge-pass jaccard disagrees with the string form: $diffMerged")
+      bench("jaccard verify", "merge-pass kernel (hashed)", nPairs) {
+        pairs.select(sum(merged)).collect()
+      }
       bench("jaccard verify", "union-free |a|+|b|-|∩|", nPairs) {
         pairs.select(sum(unionFree)).collect()
       }

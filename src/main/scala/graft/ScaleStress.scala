@@ -53,9 +53,16 @@ object ScaleStress {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     f
     val keepIds = keep
+    // BLOCKING unpersist + a GC pass (r12): after a block-heavy section
+    // (q36's level-3 run writes tens of GB of serialized blocks) the
+    // async release lagged into the NEXT section's first scan — the
+    // ×512 q136 heap OOM reproduced exactly there. The section
+    // boundary is the deterministic reclaim point; paying its
+    // synchronous cost here is the harness's job.
     spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !before(id) && !keepIds(id) }
-      .values.foreach(_.unpersist(blocking = false))
+      .values.foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 
   /** Replicate `srcDir` into `outDir` with per-replica id offsets.

@@ -135,6 +135,31 @@ object Hashing {
       shiftrightunsigned(rem, 7 * k).bitwiseAND(lit(0x7FL))): _*)
   }
 
+  /** Third-level SimHash blocking key: the 8 STRIDE-INTERLEAVED 8-bit
+    * chunks of the full code — chunk k collects bits {k, k+8, …,
+    * k+56}. Pigeonhole holds for ANY partition of the 64 bits into 8
+    * chunks: a pair within Hamming ≤ 7 has its ≤ 7 differing bits in
+    * at most 7 chunks, so it agrees on ≥ 1 — exactly, at every level.
+    *
+    * Used to re-block a LEVEL-2 sub-bucket that still overflows the
+    * cap (found by the ×1024 distinct probe, r12: at ~5 M docs the
+    * typical level-2 sub-bucket holds ~N/256/128 ≳ 150 members and
+    * near-pair recall collapsed — 16 k pairs where ~231 k were due;
+    * drops were observed, never silent, but observed ≠ recovered).
+    * Scoped INSIDE the level-2 key, the interleave is a fresh
+    * subdivision: members already agree on 15 contiguous bits, which
+    * pin only ~2 of each interleaved chunk's 8 bits, so buckets
+    * shrink by ~2⁶ per level-3 key — the same ÷two-orders step the
+    * first two levels take. All shifts static; stays in codegen.
+    */
+  def simHashInterleavedChunks(sim: Column): Column =
+    array((0 until 8).map { k =>
+      (0 until 8).foldLeft(lit(0L)) { (acc, j) =>
+        acc.bitwiseOR(shiftleft(
+          shiftrightunsigned(sim, 8 * j + k).bitwiseAND(lit(1L)), j))
+      }
+    }: _*)
+
   /** K-minimum-values sketch (winnowing-style fingerprint): the k
     * smallest distinct shingle hashes — a compact, mergeable document
     * fingerprint whose overlap estimates containment.

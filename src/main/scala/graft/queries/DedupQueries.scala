@@ -120,6 +120,35 @@ object DedupQueries {
     else math.max(base, (bytes / per + 1).min(BigInt(BucketMaxParts)).toInt)
   }
 
+  /** q36 level-3 re-block budget, in KEYED ROWS (members × 8
+    * interleaved keys). Three-level pigeonhole costs up to 8³ = 512
+    * membership rows per doc once every lower level is saturated —
+    * LINEAR in corpus, but at ~24 B/row it is the pipeline's whole
+    * shuffle/scratch volume: the ×1024 probe (5.12 M docs ⇒ ~2.6 B
+    * rows ≈ 60-80 GB with the DISK_ONLY checkpoints resident)
+    * exhausted this box's ~40-60 GB local scratch. Past the budget,
+    * level 3 is SKIPPED — loudly (stderr) and visibly (the oversized
+    * sub-buckets drop with their `simhash_reblock` counts published;
+    * the exact-code branch keeps every identical-code pair) — which
+    * is the pre-level-3 behavior, bounded instead of a mid-stage disk
+    * crash. The default admits ×512 (2.56 M docs ⇒ ~1.3 B rows,
+    * measured green); a cluster deployment, whose scratch scales out
+    * per-executor at ~12-24 KB/doc, raises or effectively disables it.
+    * The decision reads the MEASURED forwarded-member count off the
+    * sub-bucket checkpoint's own job (observe — no extra action).
+    */
+  private[graft] val Level3MaxRowsKey =
+    "spark.graft.dedup.simhashLevel3MaxRows"
+  private[graft] val Level3MaxRowsDefault: Long = 1500L * 1000L * 1000L
+
+  private def level3MaxRows(s: SparkSession): Long =
+    s.conf.get(Level3MaxRowsKey, Level3MaxRowsDefault.toString)
+      .trim.toLongOption.filter(_ > 0).getOrElse {
+        System.err.println(s"[graft] $Level3MaxRowsKey is not a " +
+          s"positive long; using $Level3MaxRowsDefault")
+        Level3MaxRowsDefault
+      }
+
   /** Storage level for PAIR/OUTPUT-sized eager materializations,
     * stored SERIALIZED by default. The plain localCheckpoint keeps
     * deserialized UnsafeRow objects in the memory store — per-row
@@ -263,6 +292,8 @@ object DedupQueries {
       .foreach(s2.conf.set(FetchIdsPerPartitionKey, _))
     s.conf.getOption(BucketScanBytesKey)
       .foreach(s2.conf.set(BucketScanBytesKey, _))
+    s.conf.getOption(Level3MaxRowsKey)
+      .foreach(s2.conf.set(Level3MaxRowsKey, _))
     s2
   }
 
@@ -770,8 +801,25 @@ object DedupQueries {
       // ~35 MB serialized / ~70 MB resident and 32 concurrent tasks
       // exhausted the pool ("Unable to acquire … got 0"); 4× finer ≈
       // ≤12 MB builds — the same budget as fetchIdsPerPartition.
-      val bucketParts =
-        math.min(BucketMaxParts, bucketAggParts(rawBase) * 4)
+      val statParts = bucketAggParts(rawBase)
+      val bucketParts = math.min(BucketMaxParts, statParts * 4)
+      // Index-scale storage policy (r12, the ×512 q136 OOM): the index
+      // and probe checkpoints are CORPUS-sized, and serialized-memory
+      // blocks evicted to disk get RE-CACHED on re-read as one
+      // whole-partition heap buffer each (BlockManager.
+      // maybeCacheDiskBytesInMemory) — 32 concurrent probe tasks
+      // pulling evicted index partitions blew the heap. DISK_ONLY
+      // streams from disk with no re-cache (the r10 ×256 finding,
+      // same physics). Trigger: the scan stats pushed the width past
+      // the session's static partitions ⇔ the corpus outgrew the
+      // memory-friendly regime. An explicit pin always wins.
+      if (!pairLevelPinned(s) && statParts >
+          s.conf.get("spark.sql.shuffle.partitions").toInt) {
+        System.err.println(s"[graft] incr: corpus-scale index " +
+          s"($statParts stat partitions) — pipeline checkpoints use " +
+          "DISK_ONLY")
+        s.conf.set(PairStorageKey, "DISK_ONLY")
+      }
       val buckets = graft.RoundStats.timed("incr_index") {
         bigCheckpoint(minHashKeyed(shingle2Of(rawBase))
           .repartition(bucketParts, col("band"), col("key"))
@@ -803,8 +851,22 @@ object DedupQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val rawNew = fanOut(docs.filter(col("doc_id") >= split))
     val raw = fanOut(docs)
+    // bigCheckpoint, NOT a plain localCheckpoint: the keyed probe table
+    // is shard-corpus-sized (17 keys × ~200 B member structs per doc)
+    // and a deserialized memory-store unroll of it is the r10
+    // value-unroll OOM class — measured at distinct ×1024 (1 M-doc
+    // shard ⇒ 17 M member rows as whole-partition object arrays took
+    // the heap down inside the scan). Serialized blocks pack and evict.
+    // Pre-aligned to the INDEX's (band, key) partitioning: the l1
+    // probe join then exchanges neither side, and the checkpoint's
+    // partitions stay at the index's fine width instead of the scan's
+    // (a 32-partition shard table meant ~70 MB serialized partitions —
+    // exactly the whole-partition re-cache allocations the DISK_ONLY
+    // escalation above is defending against).
+    val indexParts = buckets.rdd.getNumPartitions
     val newKeyed = graft.RoundStats.timed("incr_probe_keys") {
-      minHashKeyed(shingle2Of(rawNew)).localCheckpoint() }
+      bigCheckpoint(minHashKeyed(shingle2Of(rawNew))
+        .repartition(indexParts, col("band"), col("key"))) }
     // Level-1 probe: capped LSH buckets + the uncapped exact band.
     // The index side builds the hash relation (shuffle-hash, never a
     // corpus-sized broadcast); its checkpoint PRESERVES the bucket
@@ -895,7 +957,9 @@ object DedupQueries {
       .filter(col("hamming") <= maxHamming)
 
   /** All pairs within Hamming ≤ `maxHamming` over (doc_id, sim) rows,
-    * via two-level pigeonhole blocking.
+    * via three-level pigeonhole blocking (third level added r12 when
+    * the ×1024 distinct probe measured the two-level cap's recall
+    * cliff at ~5 M docs).
     *
     * Level 1: 8×8-bit chunk blocking — a pair at distance ≤7 shares
     * ≥1 chunk. At corpus scale a chunk bucket holds ~N/256 docs, so
@@ -905,13 +969,19 @@ object DedupQueries {
     * sub-chunks of its 56 remainder bits ([[Hashing.simHashSubChunks]]
     * — every member already agrees on the bucket's chunk, so the ≤7
     * differing bits live in the remainder and pigeonhole holds again,
-    * exactly, on buckets ~128× smaller. Only a sub-bucket that ALSO
-    * overflows is dropped: ≥65 docs agreeing on the same 15 code bits
-    * is an exact-dup flood (q34's job), and the same cap-and-recurse
-    * move applies at the next level if a corpus ever needs it.
+    * exactly, on buckets ~128× smaller.
+    * Level 3: a sub-bucket that ALSO overflows (typical once N/256/128
+    * crosses the cap, ~2 M docs) re-blocks on the stride-interleaved
+    * 8-bit chunks of the full code
+    * ([[Hashing.simHashInterleavedChunks]] — pigeonhole is partition-
+    * agnostic, and inside the 15 agreed bits the interleave subdivides
+    * by ~2⁶). Only a LEVEL-3 bucket that still overflows is dropped —
+    * visibly, via `observe` — and ≥65 docs agreeing on that much of
+    * the code is an exact-dup flood (q34's job) whose identical-code
+    * pairs the uncapped exact branch keeps regardless.
     *
-    * The sub-chunk regrouping shuffles only oversized-bucket members
-    * — (chunk, id, sim) rows, no arrays — so the exchange stays
+    * The regroupings shuffle only oversized-bucket members —
+    * (key…, id, sim) rows, no arrays — so every exchange stays
     * bounded by the overflow population, not the corpus.
     */
   private[graft] def simHashPairs(docs: DataFrame,
@@ -946,29 +1016,162 @@ object DedupQueries {
     maybeEscalatePairStorage(buckets.sparkSession,
       obsEst.get("est_pairs").asInstanceOf[Long], "simhash")
     val small = buckets.filter(size(col("members")) <= MaxBucket)
-    val reblocked = buckets.filter(size(col("members")) > MaxBucket)
-      .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
-      .select(col("chunk_idx"), col("chunk"), col("m"),
-        posexplode(Hashing.simHashSubChunks(col("m.sim"), col("chunk_idx")))
-          .as(Seq("sub_idx", "sub")))
-      // corpus-sized under a flood (cf. minHashPairs's reblock)
-      .repartition(bucketParts, col("chunk_idx"), col("chunk"),
-        col("sub_idx"), col("sub"))
-      .groupBy("chunk_idx", "chunk", "sub_idx", "sub")
-      .agg(collect_list(col("m")).as("members"))
-      // A level-2 sub-bucket can still overflow (≥65 docs agreeing on
-      // the same 15 code bits = an exact-dup flood, q34's job) and is
-      // dropped — but never SILENTLY: `observe` publishes how many
-      // buckets/members the cap discarded as query metrics on the same
-      // action (no extra job), so a popular near-dup cluster crossing
-      // the cap is visible in QueryExecutionListener output instead of
-      // a quiet recall loss. Asserted in DedupSpec.
+    // Level-2 sub-bucket table, materialized once: it forks into the
+    // capped pair expansion AND (r12) the level-3 re-block of
+    // sub-buckets that STILL overflow — recomputing the overflow agg
+    // per branch would double a corpus-sized stage under a flood.
+    // Re-block keys are HASHED to one long (r12): at high density the
+    // re-block shuffles are the pipeline's volume — every oversized-
+    // bucket membership ships once per sub-key, and carrying the full
+    // compound key (idx+value per level, 24–44 B) more than doubled
+    // the row next to its 16 B (id, code) payload. The ×1024 probe
+    // measured the difference as the box's scratch-disk ceiling
+    // (~2.6 B level-3 rows). xxhash64 of the compound is a pure
+    // grouping token — its value is never read downstream; a 64-bit
+    // collision merely MERGES two buckets (at worst a visible cap
+    // drop, odds ~#buckets²/2⁶⁴ ≈ 1e-6 at 5 M docs).
+    val obsFwd = Observation()
+    val sub2 = graft.RoundStats.timed("simhash_sub2") {
+      bigCheckpoint(buckets.filter(size(col("members")) > MaxBucket)
+        .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
+        .select(col("m"),
+          posexplode(Hashing.simHashSubChunks(col("m.sim"), col("chunk_idx")))
+            .as(Seq("sub_idx", "sub")),
+          col("chunk_idx"), col("chunk"))
+        .select(xxhash64(lit("l2"), col("chunk_idx"), col("chunk"),
+          col("sub_idx"), col("sub")).as("k2"), col("m"))
+        // corpus-sized under a flood (cf. minHashPairs's reblock)
+        .repartition(bucketParts, col("k2"))
+        .groupBy("k2")
+        .agg(collect_list(col("m")).as("members"))
+        .filter(size(col("members")) >= 2)
+        // measured level-3 volume, riding the checkpoint job — the
+        // budget decision below reads it with zero extra actions.
+        // Single-code buckets don't count: they never forward (below).
+        .observe(obsFwd, coalesce(sum(when(
+            size(col("members")) > MaxBucket &&
+              size(array_distinct(transform(col("members"),
+                m => m("sim")))) >= 2, size(col("members")))),
+          lit(0L)).cast("long").as("fwd_members"))) }
+    val reblocked = sub2.filter(size(col("members")) <= MaxBucket)
+    val level3Rows =
+      obsFwd.get("fwd_members").asInstanceOf[Long] * 8L
+    val runLevel3 = level3Rows <= level3MaxRows(docs.sparkSession)
+    if (!runLevel3)
+      System.err.println(f"[graft] simhash: level-3 re-block skipped — " +
+        f"$level3Rows%,d keyed rows exceed $Level3MaxRowsKey=" +
+        f"${level3MaxRows(docs.sparkSession)}%,d; oversized sub-buckets " +
+        "drop (visible via simhash_reblock metrics; exact-code pairs kept)")
+    // Level 3 (r12, found by the ×1024 distinct probe): at ~5 M docs a
+    // TYPICAL level-2 sub-bucket holds ~N/256/128 ≳ 150 members, so
+    // the cap was discarding near-pair recall wholesale (near pairs
+    // collapsed 231 k → 16 k at ×1024; drops were observed, never
+    // silent — but observed ≠ recovered). Oversized sub-buckets are
+    // re-keyed on the STRIDE-INTERLEAVED 8-bit chunks of the full
+    // code ([[Hashing.simHashInterleavedChunks]]): pigeonhole holds
+    // for any 8-way partition of the 64 bits, and scoped inside the
+    // level-2 key the interleave is a fresh ÷~2⁶ subdivision. The
+    // `observe`s publish what each stage forwards/discards on the
+    // query's own action (no extra job; DedupSpec asserts both): a
+    // level-3 bucket that ALSO overflows (≥65 docs agreeing on 15
+    // contiguous + ~2×8 interleaved bits) is an exact-dup flood —
+    // q34's job, and the uncapped exact-code branch below keeps its
+    // identical-code pairs regardless.
+    // Single-code oversized sub-buckets never forward to level 3: all
+    // their members share one SimHash, so every within-bucket pair is
+    // Hamming 0 and ALREADY owned by the uncapped exact-code branch —
+    // under a flood (the ×70/×128 gates: exact-copy cliques) this is
+    // ~every oversized bucket, and exploding them ×8 was pure waste.
+    // The observe splits the two fates so neither is silent.
+    val nCodes =
+      size(array_distinct(transform(col("members"), m => m("sim"))))
+    val forwarded = sub2.filter(size(col("members")) > MaxBucket)
       .observe("simhash_reblock",
-        count(when(size(col("members")) > MaxBucket, 1))
-          .as("dropped_subbuckets"),
-        coalesce(sum(when(size(col("members")) > MaxBucket,
-          size(col("members")))), lit(0L)).as("dropped_members"))
-      .filter(size(col("members")).between(2, MaxBucket))
+        count(when(nCodes >= 2, 1)).as("forwarded_subbuckets"),
+        coalesce(sum(when(nCodes >= 2, size(col("members")))), lit(0L))
+          .cast("long").as("forwarded_members"),
+        count(when(nCodes < 2, 1)).as("exact_owned_subbuckets"))
+      .filter(nCodes >= 2)
+    // Level-3 pairing is SORT-STREAMED, not collect_list'ed: at
+    // saturation the keyed table is billions of narrow rows, and an
+    // ObjectHashAggregate materializing member lists holds UNMANAGED
+    // per-task object buffers — at ×512 (~1.3 B rows) it sat on the
+    // heap cliff (one 868 s pass, then two OOMs on the same data).
+    // One exchange at the scan-stat width, a SPILLABLE
+    // sortWithinPartitions, and a streaming mapPartitions with an
+    // O(MaxBucket) buffer emit the Hamming-filtered pairs directly;
+    // a bucket past the cap emits one SENTINEL row (a = -1,
+    // b = member count) so the drop accounting still rides the
+    // query's own action through the observe below.
+    val pairs3: DataFrame =
+      if (!runLevel3)
+        // dropped, loudly (stderr above) + counted (the `forwarded`
+        // observe stays in this plan): zero level-3 pairs
+        forwarded.filter(lit(false))
+          .select(col("k2").as("a"), lit(0L).as("b"), lit(0).as("hamming"))
+      else {
+        val mh = maxHamming
+        val cap = MaxBucket
+        val session = docs.sparkSession
+        import session.implicits._
+        forwarded
+          .select(col("k2"), explode(col("members")).as("m"))
+          .select(col("k2"), col("m"),
+            posexplode(Hashing.simHashInterleavedChunks(col("m.sim")))
+              .as(Seq("int_idx", "int_val")))
+          .select(xxhash64(lit("l3"), col("k2"), col("int_idx"),
+            col("int_val")).as("k3"), col("m.doc_id").as("id"),
+            col("m.sim").as("sv"))
+          .repartition(bucketParts, col("k3"))
+          .sortWithinPartitions("k3")
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            val ids = new Array[Long](cap + 1)
+            val svs = new Array[Long](cap + 1)
+            var curKey = 0L
+            var have = false
+            var n = 0
+            val out = scala.collection.mutable.Queue.empty[(Long, Long, Int)]
+            def flush(): Unit = {
+              if (have && n >= 2) {
+                if (n > cap) out.enqueue((-1L, n.toLong, -1))
+                else {
+                  var i = 0
+                  while (i < n) {
+                    var j = i + 1
+                    while (j < n) {
+                      val h = java.lang.Long.bitCount(svs(i) ^ svs(j))
+                      if (h <= mh) out.enqueue((math.min(ids(i), ids(j)),
+                        math.max(ids(i), ids(j)), h))
+                      j += 1
+                    }
+                    i += 1
+                  }
+                }
+              }
+              n = 0
+            }
+            new Iterator[(Long, Long, Int)] {
+              private def fill(): Unit = {
+                while (out.isEmpty && it.hasNext) {
+                  val (k, id, sv) = it.next()
+                  if (!have || k != curKey) { flush(); curKey = k; have = true }
+                  if (n <= cap) { ids(n.min(cap)) = id; svs(n.min(cap)) = sv }
+                  n += 1
+                }
+                if (out.isEmpty && !it.hasNext && have) { flush(); have = false }
+              }
+              override def hasNext: Boolean = { fill(); out.nonEmpty }
+              override def next(): (Long, Long, Int) = { fill(); out.dequeue() }
+            }
+          }
+          .toDF("a", "b", "hamming")
+          .observe("simhash_reblock3",
+            count(when(col("hamming") < 0, 1)).as("dropped_subbuckets"),
+            coalesce(sum(when(col("hamming") < 0, col("b"))), lit(0L))
+              .cast("long").as("dropped_members"))
+          .filter(col("hamming") >= 0)
+      }
     // EXACT-code blocking key (q37's salted-h1 move, ADVICE r7): an
     // exact-dup clique larger than MaxBucket shares every chunk AND
     // every sub-chunk, so both capped levels would drop it — yet its
@@ -992,6 +1195,7 @@ object DedupQueries {
       .filter(size(col("members")) >= 2)
     memberPairs(small, maxHamming, bucketParts)
       .union(memberPairs(reblocked, maxHamming, bucketParts))
+      .union(pairs3)
       .union(memberPairs(exactCliques, maxHamming, bucketParts))
       // dedup across chunk tables AFTER the cheap Hamming filter:
       // the exchange carries only true near-dup pairs

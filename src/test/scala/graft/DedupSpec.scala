@@ -83,10 +83,60 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.length === 70 * 69 / 2,
         s"exact-code branch must recover the full clique, got ${rows.length}")
       assert(rows.forall(_.getAs[Long]("hamming") === 0L))
+      // r12 semantics: all 8×8 = 64 oversized sub-buckets here are
+      // SINGLE-CODE (an exact-dup flood), so none forwards to the
+      // level-3 re-block — their pairs are the exact-code branch's —
+      // and the observe says exactly that (exact_owned, not silence).
       val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
       assert(m.isDefined, "simhash_reblock metric not observed")
-      assert(m.get.getAs[Long]("dropped_subbuckets") === 64L)
-      assert(m.get.getAs[Long]("dropped_members") === 64L * 70L)
+      assert(m.get.getAs[Long]("exact_owned_subbuckets") === 64L)
+      assert(m.get.getAs[Long]("forwarded_subbuckets") === 0L)
+      assert(m.get.getAs[Long]("forwarded_members") === 0L)
+      val m3 = pairsDf.queryExecution.observedMetrics.get("simhash_reblock3")
+      assert(m3.isDefined, "simhash_reblock3 metric not observed")
+      assert(m3.get.getAs[Long]("dropped_subbuckets") === 0L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Level-3 re-block recovery (r12, the ×1024 distinct probe's recall
+    * cliff): a near-dup pair stranded in a level-2 sub-bucket that
+    * overflows the cap must surface through the interleaved-chunk
+    * re-block instead of dropping. Fixture: 70 codes agreeing on bits
+    * 0–49 (so every level-1 chunk-0..5 bucket and every level-2
+    * sub-bucket 0..5 they share holds all 70 — oversized), varying
+    * only in bits 50–63; the planted pair (docs 0, 1) differs in 3 of
+    * those bits. Pre-level-3, its every shared container was over the
+    * cap → the pair was (observedly) dropped; the interleave splits
+    * the 14 varying bits 2-per-chunk, so level-3 buckets hold ~70/4
+    * members and the pair expands + passes the Hamming filter.
+    */
+  test("simHashPairs level-3 re-block recovers pairs from flooded sub-buckets") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val base = 0x0000123456789ABCL // bits 50+ clear
+      val a = base
+      val b = base | (1L << 52) | (1L << 55) | (1L << 58) // Hamming 3
+      val fillers = (2 until 70).map { i =>
+        // distinct 14-bit pattern in bits 50–63, none equal to a's (0)
+        // or b's; i<<7|i spreads bits across both interleave positions
+        (i.toLong, base | (((i.toLong << 7) | i.toLong) << 50))
+      }
+      val docs = (Seq((0L, a), (1L, b)) ++ fillers).toDF("doc_id", "sim")
+      val pairsDf = graft.queries.DedupQueries.simHashPairs(docs)
+      val rows = pairsDf.collect()
+      assert(rows.forall(_.getAs[Int]("hamming") <= 7))
+      val planted = rows.find(r =>
+        r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 1L)
+      assert(planted.isDefined,
+        "planted pair lost in a flooded level-2 sub-bucket — level-3 " +
+          "re-block failed to recover it")
+      assert(planted.get.getAs[Int]("hamming") === 3)
+      // the fixture genuinely exercised the level-3 path
+      val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
+      assert(m.isDefined && m.get.getAs[Long]("forwarded_subbuckets") > 0L,
+        "fixture never overflowed a level-2 sub-bucket")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
@@ -233,29 +283,41 @@ class DedupSpec extends AnyFunSuite {
     */
   test("q36 two-level blocking recovers pairs inside an oversized chunk bucket") {
     import spark.implicits._
-    val rnd = new java.util.Random(42L)
-    def rand56(): Long = rnd.nextLong() & 0x00FFFFFFFFFFFFFFL
-    val base = (0 until 300).map(i => (i.toLong, (rand56() << 8) | 0x5AL))
-    val partners = base.take(20).map { case (id, code) =>
-      val flips = (1 to 7).map(c => 1L << (8 * c + rnd.nextInt(8)))
-      (10000L + id, flips.foldLeft(code)(_ ^ _))
-    }
-    val all = base ++ partners
-    val expected = (for {
-      (a, ca) <- all; (b, cb) <- all if a < b
-      if java.lang.Long.bitCount(ca ^ cb) <= 7
-    } yield (a, b)).toSet
-    val pairsDf = graft.queries.DedupQueries.simHashPairs(all.toDF("doc_id", "sim"))
-    val got = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(expected.size >= 20, "construction plants >= 20 pairs")
-    assert(got === expected,
-      s"missed: ${expected -- got}; spurious: ${got -- expected}")
-    // the oversized bucket here re-blocks WITHOUT overflow: the drop
-    // metric must say 0, not stay silent
-    val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
-    assert(m.isDefined, "simhash_reblock metric not observed")
-    assert(m.get.getAs[Long]("dropped_subbuckets") === 0L)
-    assert(m.get.getAs[Long]("dropped_members") === 0L)
+    // AQE off (cf. the flood test above, and the dedup session the
+    // real pipeline runs on): the level-3 branch is EMPTY for this
+    // fixture and AQE's empty-relation propagation would prune its
+    // observe nodes out of the plan.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new java.util.Random(42L)
+      def rand56(): Long = rnd.nextLong() & 0x00FFFFFFFFFFFFFFL
+      val base = (0 until 300).map(i => (i.toLong, (rand56() << 8) | 0x5AL))
+      val partners = base.take(20).map { case (id, code) =>
+        val flips = (1 to 7).map(c => 1L << (8 * c + rnd.nextInt(8)))
+        (10000L + id, flips.foldLeft(code)(_ ^ _))
+      }
+      val all = base ++ partners
+      val expected = (for {
+        (a, ca) <- all; (b, cb) <- all if a < b
+        if java.lang.Long.bitCount(ca ^ cb) <= 7
+      } yield (a, b)).toSet
+      val pairsDf = graft.queries.DedupQueries.simHashPairs(all.toDF("doc_id", "sim"))
+      val got = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.size >= 20, "construction plants >= 20 pairs")
+      assert(got === expected,
+        s"missed: ${expected -- got}; spurious: ${got -- expected}")
+      // the oversized bucket here re-blocks WITHOUT level-2 overflow:
+      // nothing forwards to level 3 and nothing drops — said by the
+      // metrics, not silence
+      val m = pairsDf.queryExecution.observedMetrics.get("simhash_reblock")
+      assert(m.isDefined, "simhash_reblock metric not observed")
+      assert(m.get.getAs[Long]("forwarded_subbuckets") === 0L)
+      assert(m.get.getAs[Long]("forwarded_members") === 0L)
+      val m3 = pairsDf.queryExecution.observedMetrics.get("simhash_reblock3")
+      assert(m3.isDefined, "simhash_reblock3 metric not observed")
+      assert(m3.get.getAs[Long]("dropped_subbuckets") === 0L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q34 exact dedup keeps one row per distinct text") {
@@ -353,15 +415,20 @@ class DedupSpec extends AnyFunSuite {
       s"tiny bytes/partition must out-size the session width ($expected)")
     assert(expected <= DedupQueries.BucketMaxParts)
     // the width must REACH an exchange: the bucket checkpoint persists
-    // at exactly the computed partition count
+    // at exactly the computed partition count. Snapshot the registry
+    // IMMEDIATELY after construction (the checkpoints are eager):
+    // once minHashPairs returns, its intermediate DataFrames are
+    // unreachable and a GC during the collect below lets the
+    // ContextCleaner unpersist them — the registry delta would come
+    // up empty (the suite's one intermittent flake, r12).
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val viaWide = DedupQueries.minHashPairs(dfTiny)
-    val wideRows = viaWide.collect()
-      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
-        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
     val newWidths = spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !before(id) }
       .values.map(_.getNumPartitions).toSet
+    val wideRows = viaWide.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
     assert(newWidths.contains(expected),
       s"no checkpoint ran at the stat-driven width $expected: $newWidths")
     // (b1) a localCheckpoint PRESERVES its origin plan's stats (Spark 4
