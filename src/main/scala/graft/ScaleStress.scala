@@ -192,6 +192,7 @@ object ScaleStress {
     import graft.streaming.StreamingQueries
     StreamingQueries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       StreamingQueries.sinkModeOverride = Some(sink)
+      StreamingQueries.resetStateRows()
       try {
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
@@ -498,7 +499,36 @@ object ScaleStress {
     assert(nearDev136 <= math.max(4L, q35Total / 1000L),
       s"q136 ∪ base-only near-pair deviation $nearDev136 exceeds 0.1% — " +
         "systematic incremental recall hole, not LSH draw noise")
+
+    // ---- q137: incremental APPLY ≡ full apply, restricted (r13) ----
+    // The kept rows the daily append would publish for the shard must
+    // match the full q111 rerun's kept set restricted to the shard.
+    // Exact equality holds only when both runs see the same pair set;
+    // the per-replica LSH draws give each side its own borderline
+    // resolutions, so the symmetric difference gets the q102/q111
+    // 0.5% bound, not zero.
+    val (x137, s137) = timed {
+      DedupQueries.incrementalApplyWith(
+        DedupQueries.incrementalIndex(spark, outDir), outDir)
+        .select("doc_id").localCheckpoint() }
+    val fullKeptNew = SparkEntry.queries("q111_dedup_apply")(spark, outDir)
+      .filter(col("doc_id") >= split136).select("doc_id").localCheckpoint()
+    val nFullNew = fullKeptNew.count()
+    val dev137 = x137.exceptAll(fullKeptNew).count() +
+      fullKeptNew.exceptAll(x137).count()
+    val n137 = x137.count()
+    println(f"[stress] q137 distinct ×$rep: kept $n137%,d shard docs " +
+      f"(full-rerun restriction $nFullNew%,d) in $s137%.1f s; " +
+      f"symmetric difference $dev137")
+    assert(n137 > 0, "q137 kept nothing for the increment shard")
+    assert(dev137 <= math.max(8L, nFullNew / 200L),
+      s"q137 ×$rep kept-set deviation $dev137 exceeds 0.5% — systematic " +
+        "apply divergence, not pair-draw noise")
     } }
+    // the block above released the memoized index's checkpoint blocks —
+    // evict the cache entry so a later probe in this JVM rebuilds
+    // instead of touching unrecoverable released blocks (ADVICE r12)
+    DedupQueries.invalidateIncrementalIndex(outDir)
 
     println(f"[stress] distinct ×$rep: corpus ×$rep, pair volume linear " +
       "(≈ R × base) — the constant-near-dup-rate regime holds")

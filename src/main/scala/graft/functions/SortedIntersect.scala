@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: |a ∩ b| of two SORTED-ASCENDING
   * distinct `array<long>` columns, by a single merge pass.
@@ -33,6 +34,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "sorted_intersect_count"
+
+  // The TYPE half of the caller contract fails analysis instead of
+  // silently miscounting (ADVICE r12): both children must be
+  // array<long> with no null elements — getLong on a null slot or a
+  // non-long array would read garbage. (The sortedness half is not
+  // checkable at analysis time; it stays a documented contract with
+  // its call sites pinned by KernelCodegenSpec.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, containsNull) => !containsNull
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> columns without null " +
+        s"elements, got ${left.dataType.catalogString} and " +
+        s"${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

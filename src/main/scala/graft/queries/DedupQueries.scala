@@ -121,21 +121,24 @@ object DedupQueries {
   }
 
   /** q36 level-3 re-block budget, in KEYED ROWS (members × 8
-    * interleaved keys). Three-level pigeonhole costs up to 8³ = 512
-    * membership rows per doc once every lower level is saturated —
-    * LINEAR in corpus, but at ~24 B/row it is the pipeline's whole
-    * shuffle/scratch volume: the ×1024 probe (5.12 M docs ⇒ ~2.6 B
-    * rows ≈ 60-80 GB with the DISK_ONLY checkpoints resident)
-    * exhausted this box's ~40-60 GB local scratch. Past the budget,
-    * level 3 is SKIPPED — loudly (stderr) and visibly (the oversized
-    * sub-buckets drop with their `simhash_reblock` counts published;
-    * the exact-code branch keeps every identical-code pair) — which
-    * is the pre-level-3 behavior, bounded instead of a mid-stage disk
-    * crash. The default admits ×512 (2.56 M docs ⇒ ~1.3 B rows,
-    * measured green); a cluster deployment, whose scratch scales out
-    * per-executor at ~12-24 KB/doc, raises or effectively disables it.
-    * The decision reads the MEASURED forwarded-member count off the
-    * sub-bucket checkpoint's own job (observe — no extra action).
+    * interleaved keys — the unit is kept from r12 so a pinned conf
+    * keeps its meaning). Through r12 level 3 ran as a global
+    * explode→shuffle→sort pipeline and this guard bounded its ~24 B/
+    * keyed-row scratch volume against the box's local disk (the
+    * ×1024 probe's ~2.6 B rows exhausted ~40-60 GB of scratch). r13's
+    * [[level3BucketPairs]] subdivides each oversized sub-bucket
+    * LOCALLY (the l3 key is scoped inside the l2 key, so buckets
+    * never interact) — zero exchange, CPU linear in forwarded
+    * members — so at the default the guard should never trip on
+    * realistic data; it remains as a bounded-degradation valve for
+    * adversarial floods. Past the budget, level 3 is SKIPPED — loudly
+    * (stderr) and visibly: the same kernel still runs in
+    * sentinel-only mode, so the `simhash_reblock`/`simhash_reblock3`
+    * drop accounting stays in the executed plan (through r12 the skip
+    * branch was Filter(false) and PruneFilters erased the metrics —
+    * ADVICE r12). The decision reads the MEASURED forwarded-member
+    * count off the sub-bucket checkpoint's own job (observe — no
+    * extra action).
     */
   private[graft] val Level3MaxRowsKey =
     "spark.graft.dedup.simhashLevel3MaxRows"
@@ -777,18 +780,68 @@ object DedupQueries {
     * IncrementalDedupSpec asserts increment ∪ base-only ≡ a full
     * symmetric rerun at gate scale.
     */
-  private val incrIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, DataFrame, DataFrame)]
-
-  /** The standing corpus-side index for `dir`: (split, level-1 bucket
-    * table, level-2 re-block table), built from docs with
-    * doc_id < split and memoized (cold build, warm probes).
+  /** The standing corpus-side index for incremental dedup, covering
+    * docs with doc_id < `split`. `buckets`: the (band, key) member
+    * bucket table (16 LSH bands + the uncapped exact-signature band
+    * 16); `reblock`: the level-2 re-block of oversized-bucket members
+    * on their bottom-4 sketch keys; `exactKeys`: the distinct
+    * (eh1, eh2) text-hash pairs of the covered docs — the APPLY
+    * step's exact-duplicate membership probe (q137; double-xxhash64
+    * membership is the q37 signature pattern, 2^-128 collision
+    * class).
     */
-  private def incrementalIndex(s0: SparkSession, dir: String): (Long, DataFrame, DataFrame) =
-    incrIndexCache.getOrElseUpdate(dir, {
+  private[graft] final case class IncrIndex(split: Long,
+      buckets: DataFrame, reblock: DataFrame, exactKeys: DataFrame)
+
+  /** Standing-index cache, keyed by dir and GUARDED by a corpus
+    * fingerprint (row count, max doc_id): if the dir's data is
+    * regenerated in-JVM the fingerprint misses and the index rebuilds
+    * instead of returning frames over stale checkpoints (ADVICE r12).
+    * The fingerprint is one two-column agg over the documents scan
+    * per access — noise next to any probe. What no fingerprint can
+    * detect is the index's checkpoint BLOCKS being released
+    * (ScaleStress's releasingExcept): a harness that releases blocks
+    * must call [[invalidateIncrementalIndex]], as ScaleStress's
+    * distinct mode does.
+    */
+  private val incrIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, ((Long, Long), IncrIndex)]
+
+  /** Evict `dir`'s memoized standing index (see [[incrIndexCache]]). */
+  private[graft] def invalidateIncrementalIndex(dir: String): Unit =
+    incrIndexCache.remove(dir)
+
+  private def corpusFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.documents(s, dir)
+      .agg(count(lit(1)), max(col("doc_id"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The memoized standing index for `dir` at the data-derived split
+    * (max doc_id · 4/5 — the q136 shard convention): cold build, warm
+    * probes, fingerprint-guarded (see [[incrIndexCache]]).
+    */
+  private[graft] def incrementalIndex(s0: SparkSession, dir: String): IncrIndex = {
+    val s = dedupSession(s0)
+    val fp = corpusFingerprint(s, dir)
+    incrIndexCache.get(dir) match {
+      case Some((`fp`, idx)) => idx
+      case _ =>
+        val idx = indexFor(s0, dir, fp._2 * 4L / 5L)
+        incrIndexCache.put(dir, (fp, idx))
+        idx
+    }
+  }
+
+  /** Build the standing index over docs with doc_id < `split`
+    * (uncached — [[incrementalIndex]] memoizes the per-dir instance;
+    * IncrementalDedupSpec drives explicit splits for the day-by-day
+    * equivalence proof).
+    */
+  private[graft] def indexFor(s0: SparkSession, dir: String,
+      split: Long): IncrIndex = {
       val s = dedupSession(s0)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val split = docs.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
       val rawBase = fanOut(docs.filter(col("doc_id") < split))
       // Index PROBE-JOIN width — 4× finer than the flow-through bucket
       // shuffles: the l1/l2 probe joins BUILD their hash relations
@@ -824,32 +877,112 @@ object DedupQueries {
         bigCheckpoint(minHashKeyed(shingle2Of(rawBase))
           .repartition(bucketParts, col("band"), col("key"))
           .groupBy("band", "key").agg(collect_list("m").as("members"))) }
-      val reblock = graft.RoundStats.timed("incr_reblock") {
-        bigCheckpoint(buckets
-          .filter(col("band") < 16 && size(col("members")) > MaxBucket)
-          .select(explode(col("members")).as("m"))
-          .distinct()
-          .select(col("m"), explode(slice(col("m.sk"), 1, 4)).as("subkey"))
-          .repartition(bucketParts, col("subkey"))
-          .groupBy("subkey").agg(collect_list("m").as("members"))
-          // a sub-bucket that ALSO overflows is dropped, never
-          // silently (cf. minHashPairs's level 2)
-          .observe("incr_reblock_drops",
-            count(when(size(col("members")) > MaxBucket, 1))
-              .as("dropped_subbuckets"))
-          .filter(size(col("members")) <= MaxBucket)) }
-      (split, buckets, reblock)
-    })
+      // exact-text membership keys for the APPLY step (q137): one
+      // exchange at the index width; the repartition keys equal the
+      // distinct's grouping keys, so the dedup agg rides it with no
+      // second exchange and the checkpoint PRESERVES (eh1, eh2)
+      // hash-partitioning for the probe-side-only anti-join.
+      val exactKeys = graft.RoundStats.timed("incr_exact_index") {
+        bigCheckpoint(docs.filter(col("doc_id") < split)
+          .select(xxhash64(col("text")).as("eh1"),
+            xxhash64(lit("ex2"), col("text")).as("eh2"))
+          .repartition(bucketParts, col("eh1"), col("eh2"))
+          .distinct()) }
+      IncrIndex(split, buckets, reblockOf(buckets, bucketParts), exactKeys)
+    }
+
+  /** Level-2 re-block of `buckets`' oversized-bucket members on their
+    * bottom-4 sketch keys — factored (r13) so [[indexUpdatedWith]]
+    * rebuilds it from the MERGED bucket table exactly as the cold
+    * build does (overflow-population-sized either way).
+    */
+  private def reblockOf(buckets: DataFrame, width: Int): DataFrame =
+    graft.RoundStats.timed("incr_reblock") {
+      bigCheckpoint(buckets
+        .filter(col("band") < 16 && size(col("members")) > MaxBucket)
+        .select(explode(col("members")).as("m"))
+        .distinct()
+        .select(col("m"), explode(slice(col("m.sk"), 1, 4)).as("subkey"))
+        .repartition(width, col("subkey"))
+        .groupBy("subkey").agg(collect_list("m").as("members"))
+        // a sub-bucket that ALSO overflows is dropped, never
+        // silently (cf. minHashPairs's level 2)
+        .observe("incr_reblock_drops",
+          count(when(size(col("members")) > MaxBucket, 1))
+            .as("dropped_subbuckets"))
+        .filter(size(col("members")) <= MaxBucket)) }
+
+  /** The standing index ADVANCED to cover [0, newSplit): the daily
+    * index-UPDATE step, so day-N+1 probes see day-N docs without a
+    * rebuild. The shard [idx.split, newSplit)'s keyed rows aggregate
+    * at the index's own (band, key) width and merge into the bucket
+    * table via a partition-ALIGNED full-outer join — both sides
+    * hash-partitioned identically, so the corpus side exchanges
+    * NOTHING and the merge is one per-partition sort-merge pass (the
+    * same linear disk-streaming shape as an LSM compaction; the
+    * bucket table cannot be kept as probe-side segments because the
+    * MaxBucket cap and the oversized-key routing read TOTAL per-key
+    * member counts). The exact-key set merges the same aligned way;
+    * the level-2 re-block rebuilds from the merged oversized buckets
+    * (overflow-population-sized). The result is VALUE-identical to
+    * [[indexFor]](newSplit) up to member order — every consumer (cap
+    * filters, probes, explodes) is order-insensitive — which
+    * IncrementalDedupSpec asserts end-to-end by comparing probe
+    * outputs. NOTE: does not touch [[incrIndexCache]] (the memoized
+    * entry stays at the dir convention's split); day-by-day harnesses
+    * own their index instances.
+    */
+  private[graft] def indexUpdatedWith(idx: IncrIndex, dir: String,
+      newSplit: Long): IncrIndex = {
+    val s = idx.buckets.sparkSession
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val shard = fanOut(docs.filter(col("doc_id") >= idx.split &&
+      col("doc_id") < newSplit))
+    val indexParts = idx.buckets.rdd.getNumPartitions
+    val shardBuckets = minHashKeyed(shingle2Of(shard))
+      .repartition(indexParts, col("band"), col("key"))
+      .groupBy("band", "key").agg(collect_list("m").as("new_members"))
+    val merged = graft.RoundStats.timed("incr_index_merge") {
+      bigCheckpoint(idx.buckets
+        .join(shardBuckets, Seq("band", "key"), "full_outer")
+        .select(col("band"), col("key"),
+          when(col("members").isNull, col("new_members"))
+            .when(col("new_members").isNull, col("members"))
+            .otherwise(concat(col("members"), col("new_members")))
+            .as("members"))) }
+    val shardKeys = docs.filter(col("doc_id") >= idx.split &&
+        col("doc_id") < newSplit)
+      .select(xxhash64(col("text")).as("eh1"),
+        xxhash64(lit("ex2"), col("text")).as("eh2"))
+      .repartition(indexParts, col("eh1"), col("eh2"))
+      .distinct()
+    val mergedExact = graft.RoundStats.timed("incr_exact_merge") {
+      bigCheckpoint(idx.exactKeys
+        .join(shardKeys, Seq("eh1", "eh2"), "full_outer")) }
+    IncrIndex(newSplit, merged, reblockOf(merged, indexParts), mergedExact)
+  }
 
   /** q136's pair pipeline: every near-dup pair (J ≥ 0.5, 2-shingles)
     * touching the increment (doc_id ≥ split), without recomputing any
     * base-vs-base pair. See the q136 scaladoc above for the design.
     */
-  private[graft] def incrementalPairs(s0: SparkSession, dir: String): DataFrame = {
-    val (split, buckets, reblock) = incrementalIndex(s0, dir)
+  private[graft] def incrementalPairs(s0: SparkSession, dir: String): DataFrame =
+    incrementalPairsWith(incrementalIndex(s0, dir), dir)
+
+  /** [[incrementalPairs]] against an EXPLICIT index instance and an
+    * optional shard upper bound — the day-by-day surface: the shard
+    * is [idx.split, until), so a harness can replay history one
+    * increment at a time ([[indexUpdatedWith]] advances the index
+    * between shards). The default bound keeps q136's "everything
+    * after the split" semantics.
+    */
+  private[graft] def incrementalPairsWith(idx: IncrIndex, dir: String,
+      until: Long = Long.MaxValue): DataFrame = {
+    val (split, buckets, reblock) = (idx.split, idx.buckets, idx.reblock)
     val s = buckets.sparkSession // the index's dedup session (AQE off)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val rawNew = fanOut(docs.filter(col("doc_id") >= split))
+    val rawNew = fanOut(docs.filter(col("doc_id") >= split &&
+      col("doc_id") < until))
     val raw = fanOut(docs)
     // bigCheckpoint, NOT a plain localCheckpoint: the keyed probe table
     // is shard-corpus-sized (17 keys × ~200 B member structs per doc)
@@ -933,7 +1066,73 @@ object DedupQueries {
     * for specs/harnesses; builds or reuses the memoized index).
     */
   private[graft] def incrementalSplit(s0: SparkSession, dir: String): Long =
-    incrementalIndex(s0, dir)._1
+    incrementalIndex(s0, dir).split
+
+  /** q137: the incremental APPLY step — the deduplicated rows a daily
+    * job APPENDS for the shard [idx.split, until): exactly q111's
+    * kept set restricted to the shard, computed without touching any
+    * base-vs-base pair. q111's two keep rules, made incremental:
+    *  - EXACT: the doc is the min-id copy of its text within the
+    *    shard AND its text is absent from the standing exact-key set
+    *    (base ids all precede shard ids, so shard-internal min + base
+    *    membership ≡ full-corpus min);
+    *  - NEAR: the doc has no near-dup link to the base — a `vs_base`
+    *    pair puts a smaller base id in its full-graph cluster — and
+    *    it is the min-id of its shard-internal near-dup component,
+    *    none of whose members links to base. Components are CC over
+    *    the shard's new-vs-new pairs only: two shard components that
+    *    could merge only THROUGH a base doc each contain a base-
+    *    linked member, so every member is dropped either way — the
+    *    full-graph keep/drop decision for SHARD docs never needs base
+    *    CC (IncrementalDedupSpec's day-by-day ≡ full-rerun assert).
+    * Base docs are never re-dropped — the published corpus is
+    * MONOTONE, the production contract for a daily append. (A full
+    * RERUN may additionally drop a base doc that a new doc bridges
+    * into an older cluster; that retro-drop is q111's job, not the
+    * daily append's, and doesn't change which SHARD docs are kept.)
+    * Cost shape: one shard-sized window shuffle (exact rule), the
+    * q136 probe, CC over shard-internal pairs (near-dup-rate-sized),
+    * and a broadcast anti-join of the candidate-sized drop set — the
+    * corpus is only ever probed, never re-paired.
+    */
+  private[graft] def incrementalApplyWith(idx: IncrIndex, dir: String,
+      until: Long = Long.MaxValue): DataFrame = {
+    val s = idx.buckets.sparkSession
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val shard = docs.filter(col("doc_id") >= idx.split &&
+      col("doc_id") < until)
+    // exact rule: the standing-key anti-join is shuffle-hash with the
+    // index side building from its checkpoint's PRESERVED (eh1, eh2)
+    // partitioning — only the (already shard-sized) probe exchanges
+    val exactKept = shard
+      .withColumn("min_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("min_id"))
+      .withColumn("eh1", xxhash64(col("text")))
+      .withColumn("eh2", xxhash64(lit("ex2"), col("text")))
+      .join(idx.exactKeys.hint("shuffle_hash"), Seq("eh1", "eh2"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // near rule: pair-sized checkpoint feeds three consumers
+    val pairs = bigCheckpoint(incrementalPairsWith(idx, dir, until))
+    val vsBase = pairs.filter(col("vs_base"))
+      .select(col("b").as("id")).distinct()
+    val nn = pairs.filter(!col("vs_base")).select(col("a"), col("b"))
+    val labels = ConnectedComponents.labelsFor(nn)
+    val touched = labels.join(vsBase, Seq("id"), "left_semi")
+      .select(col("lbl")).distinct()
+    val dropNear = vsBase
+      .union(labels.filter(col("id") =!= col("lbl")).select(col("id")))
+      .union(labels.join(touched, Seq("lbl"), "left_semi").select(col("id")))
+      .distinct()
+      .withColumnRenamed("id", "doc_id")
+    // the drop set is candidate-sized (cf. q111) — broadcast so the
+    // shard side never shuffles for it
+    finalStage("incr_apply_final") {
+      exactKept.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
+    }
+  }
 
   private def q136(s0: SparkSession, dir: String): DataFrame =
     incrementalPairs(s0, dir).orderBy("a", "b")
@@ -955,6 +1154,91 @@ object DedupQueries {
       .select(col("m.doc_id").as("a"), col("n.doc_id").as("b"),
         Hashing.hamming64(col("m.sim"), col("n.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  /** Level-3 kernel: ONE oversized level-2 sub-bucket's members in,
+    * Hamming-filtered pairs out. Re-keys the members on the 8
+    * stride-interleaved 8-bit chunks of the full code (same partition
+    * as [[Hashing.simHashInterleavedChunks]], computed JVM-side —
+    * position k's value packs code bits {k, k+8, …, k+56}): per
+    * position a 256-way counting sort groups the members; a group of
+    * 2..cap pairs up under the Hamming filter (deduped across
+    * positions — a near pair can agree on several chunks); a group
+    * past the cap emits a SENTINEL (a = -1, b = group size,
+    * hamming = -1) for the caller's drop-accounting observe. With
+    * `expand = false` (the level-3 volume budget tripped) the whole
+    * bucket drops as one sentinel and no pairing runs — bounded
+    * degradation with the accounting intact. CPU is O(8·n + pairs),
+    * scratch O(n): nothing here is quadratic in an over-cap group.
+    */
+  private[graft] def level3BucketPairs(ids: Array[Long], svs: Array[Long],
+      maxHamming: Int, cap: Int,
+      expand: Boolean): Iterator[(Long, Long, Int)] = {
+    val n = ids.length
+    if (!expand) return Iterator.single((-1L, n.toLong, -1))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    // all 8 interleaved values per member in one pass over the 64
+    // bits: code bit b contributes bit (b >>> 3) of position (b & 7)
+    val vals = new Array[Byte](n * 8)
+    var i = 0
+    while (i < n) {
+      val sv = svs(i)
+      val off = i * 8
+      var b = 0
+      while (b < 64) {
+        val p = off + (b & 7)
+        vals(p) = (vals(p) | (((sv >>> b) & 1L) << (b >>> 3)).toInt).toByte
+        b += 1
+      }
+      i += 1
+    }
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    val cnt = new Array[Int](257)
+    val pos = new Array[Int](256)
+    val order = new Array[Int](n)
+    var k = 0
+    while (k < 8) {
+      java.util.Arrays.fill(cnt, 0)
+      i = 0
+      while (i < n) { cnt((vals(i * 8 + k) & 0xFF) + 1) += 1; i += 1 }
+      var v = 0
+      while (v < 256) { cnt(v + 1) += cnt(v); pos(v) = cnt(v); v += 1 }
+      i = 0
+      while (i < n) {
+        val v2 = vals(i * 8 + k) & 0xFF
+        order(pos(v2)) = i
+        pos(v2) += 1
+        i += 1
+      }
+      v = 0
+      while (v < 256) {
+        val lo = cnt(v)
+        val hi = cnt(v + 1)
+        val g = hi - lo
+        if (g > cap) out += ((-1L, g.toLong, -1))
+        else if (g >= 2) {
+          var x = lo
+          while (x < hi) {
+            var y = x + 1
+            while (y < hi) {
+              val ix = order(x)
+              val iy = order(y)
+              val h = java.lang.Long.bitCount(svs(ix) ^ svs(iy))
+              if (h <= maxHamming) {
+                val a = math.min(ids(ix), ids(iy))
+                val b2 = math.max(ids(ix), ids(iy))
+                if (seen.add((a, b2))) out += ((a, b2, h))
+              }
+              y += 1
+            }
+            x += 1
+          }
+        }
+        v += 1
+      }
+      k += 1
+    }
+    out.iterator
+  }
 
   /** All pairs within Hamming ≤ `maxHamming` over (doc_id, sim) rows,
     * via three-level pigeonhole blocking (third level added r12 when
@@ -1020,13 +1304,13 @@ object DedupQueries {
     // capped pair expansion AND (r12) the level-3 re-block of
     // sub-buckets that STILL overflow — recomputing the overflow agg
     // per branch would double a corpus-sized stage under a flood.
-    // Re-block keys are HASHED to one long (r12): at high density the
-    // re-block shuffles are the pipeline's volume — every oversized-
-    // bucket membership ships once per sub-key, and carrying the full
-    // compound key (idx+value per level, 24–44 B) more than doubled
-    // the row next to its 16 B (id, code) payload. The ×1024 probe
-    // measured the difference as the box's scratch-disk ceiling
-    // (~2.6 B level-3 rows). xxhash64 of the compound is a pure
+    // The re-block key is HASHED to one long (r12): at high density
+    // this re-block shuffle is the pipeline's volume — every
+    // oversized-bucket membership ships once per sub-key, and
+    // carrying the full compound key (idx+value per level, 24–44 B)
+    // more than doubled the row next to its 16 B (id, code) payload
+    // (the ×1024 probe measured the difference as the box's
+    // scratch-disk ceiling). xxhash64 of the compound is a pure
     // grouping token — its value is never read downstream; a 64-bit
     // collision merely MERGES two buckets (at worst a visible cap
     // drop, odds ~#buckets²/2⁶⁴ ≈ 1e-6 at 5 M docs).
@@ -1068,15 +1352,16 @@ object DedupQueries {
     // collapsed 231 k → 16 k at ×1024; drops were observed, never
     // silent — but observed ≠ recovered). Oversized sub-buckets are
     // re-keyed on the STRIDE-INTERLEAVED 8-bit chunks of the full
-    // code ([[Hashing.simHashInterleavedChunks]]): pigeonhole holds
-    // for any 8-way partition of the 64 bits, and scoped inside the
-    // level-2 key the interleave is a fresh ÷~2⁶ subdivision. The
-    // `observe`s publish what each stage forwards/discards on the
-    // query's own action (no extra job; DedupSpec asserts both): a
-    // level-3 bucket that ALSO overflows (≥65 docs agreeing on 15
-    // contiguous + ~2×8 interleaved bits) is an exact-dup flood —
-    // q34's job, and the uncapped exact-code branch below keeps its
-    // identical-code pairs regardless.
+    // code (the same partition [[Hashing.simHashInterleavedChunks]]
+    // documents, computed JVM-side in [[level3BucketPairs]]):
+    // pigeonhole holds for any 8-way partition of the 64 bits, and
+    // scoped inside the level-2 key the interleave is a fresh ÷~2⁶
+    // subdivision. The `observe`s publish what each stage
+    // forwards/discards on the query's own action (no extra job;
+    // DedupSpec asserts both): a level-3 group that ALSO overflows
+    // (≥65 docs agreeing on 15 contiguous + ~2×8 interleaved bits) is
+    // an exact-dup flood — q34's job, and the uncapped exact-code
+    // branch below keeps its identical-code pairs regardless.
     // Single-code oversized sub-buckets never forward to level 3: all
     // their members share one SimHash, so every within-bucket pair is
     // Hamming 0 and ALREADY owned by the uncapped exact-code branch —
@@ -1092,86 +1377,50 @@ object DedupQueries {
           .cast("long").as("forwarded_members"),
         count(when(nCodes < 2, 1)).as("exact_owned_subbuckets"))
       .filter(nCodes >= 2)
-    // Level-3 pairing is SORT-STREAMED, not collect_list'ed: at
-    // saturation the keyed table is billions of narrow rows, and an
-    // ObjectHashAggregate materializing member lists holds UNMANAGED
-    // per-task object buffers — at ×512 (~1.3 B rows) it sat on the
-    // heap cliff (one 868 s pass, then two OOMs on the same data).
-    // One exchange at the scan-stat width, a SPILLABLE
-    // sortWithinPartitions, and a streaming mapPartitions with an
-    // O(MaxBucket) buffer emit the Hamming-filtered pairs directly;
-    // a bucket past the cap emits one SENTINEL row (a = -1,
-    // b = member count) so the drop accounting still rides the
-    // query's own action through the observe below.
-    val pairs3: DataFrame =
-      if (!runLevel3)
-        // dropped, loudly (stderr above) + counted (the `forwarded`
-        // observe stays in this plan): zero level-3 pairs
-        forwarded.filter(lit(false))
-          .select(col("k2").as("a"), lit(0L).as("b"), lit(0).as("hamming"))
-      else {
-        val mh = maxHamming
-        val cap = MaxBucket
-        val session = docs.sparkSession
-        import session.implicits._
-        forwarded
-          .select(col("k2"), explode(col("members")).as("m"))
-          .select(col("k2"), col("m"),
-            posexplode(Hashing.simHashInterleavedChunks(col("m.sim")))
-              .as(Seq("int_idx", "int_val")))
-          .select(xxhash64(lit("l3"), col("k2"), col("int_idx"),
-            col("int_val")).as("k3"), col("m.doc_id").as("id"),
-            col("m.sim").as("sv"))
-          .repartition(bucketParts, col("k3"))
-          .sortWithinPartitions("k3")
-          .as[(Long, Long, Long)]
-          .mapPartitions { it =>
-            val ids = new Array[Long](cap + 1)
-            val svs = new Array[Long](cap + 1)
-            var curKey = 0L
-            var have = false
-            var n = 0
-            val out = scala.collection.mutable.Queue.empty[(Long, Long, Int)]
-            def flush(): Unit = {
-              if (have && n >= 2) {
-                if (n > cap) out.enqueue((-1L, n.toLong, -1))
-                else {
-                  var i = 0
-                  while (i < n) {
-                    var j = i + 1
-                    while (j < n) {
-                      val h = java.lang.Long.bitCount(svs(i) ^ svs(j))
-                      if (h <= mh) out.enqueue((math.min(ids(i), ids(j)),
-                        math.max(ids(i), ids(j)), h))
-                      j += 1
-                    }
-                    i += 1
-                  }
-                }
-              }
-              n = 0
-            }
-            new Iterator[(Long, Long, Int)] {
-              private def fill(): Unit = {
-                while (out.isEmpty && it.hasNext) {
-                  val (k, id, sv) = it.next()
-                  if (!have || k != curKey) { flush(); curKey = k; have = true }
-                  if (n <= cap) { ids(n.min(cap)) = id; svs(n.min(cap)) = sv }
-                  n += 1
-                }
-                if (out.isEmpty && !it.hasNext && have) { flush(); have = false }
-              }
-              override def hasNext: Boolean = { fill(); out.nonEmpty }
-              override def next(): (Long, Long, Int) = { fill(); out.dequeue() }
-            }
-          }
-          .toDF("a", "b", "hamming")
-          .observe("simhash_reblock3",
-            count(when(col("hamming") < 0, 1)).as("dropped_subbuckets"),
-            coalesce(sum(when(col("hamming") < 0, col("b"))), lit(0L))
-              .cast("long").as("dropped_members"))
-          .filter(col("hamming") >= 0)
-      }
+    // Level-3 pairing is LOCAL per sub-bucket (r13): the l3 key is
+    // scoped INSIDE k2, so one oversized sub-bucket's subdivision
+    // never interacts with another's — and each `forwarded` row
+    // already CARRIES its full member list (sub2's checkpointed
+    // collect_list). Through r12 this ran as a global pipeline
+    // (explode ×8 keyed rows per member → repartition →
+    // sortWithinPartitions → streaming kernel): correct, but the
+    // exchange+sort shuffled 8 narrow rows per forwarded member —
+    // ~36 GB of scratch at ×1024 distinct, and an ~870 s q36 wall at
+    // ×512 with level 3 engaged. [[level3BucketPairs]] instead
+    // re-keys ONE bucket in memory: per interleaved position a
+    // 256-way counting sort (the l3 key is 8 bits) groups the
+    // members, groups within the cap pair up (Hamming-filtered,
+    // deduped across the 8 positions), and a group past the cap
+    // emits the same SENTINEL row (a = -1, b = group size) the
+    // streamed kernel emitted, so the drop accounting still rides
+    // the query's own action through the observe below. Zero
+    // exchange, zero sort, CPU linear in forwarded members; the
+    // transient scratch is O(members of ONE bucket) — the same order
+    // as the checkpointed row being read. Budget-skip mode runs the
+    // SAME kernel emitting only sentinels: the `forwarded` observe
+    // and the drop counts survive in the executed plan (through r12
+    // the skip branch was Filter(false), which PruneFilters rewrote
+    // to an empty LocalRelation, silently erasing the
+    // simhash_reblock metrics exactly in the regime that drops
+    // recall — ADVICE r12).
+    val pairs3: DataFrame = {
+      val mh = maxHamming
+      val cap = MaxBucket
+      val expand = runLevel3
+      val session = docs.sparkSession
+      import session.implicits._
+      forwarded
+        .select(col("members.doc_id").as("ids"), col("members.sim").as("svs"))
+        .as[(Array[Long], Array[Long])]
+        .mapPartitions(_.flatMap { case (ids, svs) =>
+          level3BucketPairs(ids, svs, mh, cap, expand) })
+        .toDF("a", "b", "hamming")
+        .observe("simhash_reblock3",
+          count(when(col("hamming") < 0, 1)).as("dropped_subbuckets"),
+          coalesce(sum(when(col("hamming") < 0, col("b"))), lit(0L))
+            .cast("long").as("dropped_members"))
+        .filter(col("hamming") >= 0)
+    }
     // EXACT-code blocking key (q37's salted-h1 move, ADVICE r7): an
     // exact-dup clique larger than MaxBucket shares every chunk AND
     // every sub-chunk, so both capped levels would drop it — yet its

@@ -105,11 +105,36 @@ object Extended16 {
        |       (SELECT COUNT(*) FROM exact_keep
        |        WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)) AS n_kept""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** Incremental APPLY (r13, completing q136's daily-job story): the
+    * kept rows for the increment shard alone — q111 restricted to
+    * doc_id ≥ split, computed against the STANDING index (exact-key
+    * probe + q136 pair probe + shard-internal CC), never re-pairing
+    * the base corpus. See [[DedupQueries.incrementalApplyWith]]. The
+    * oracle is the full-rerun kept set restricted to the shard, so
+    * the driver's gate hash-checks the monotone-append theorem (a
+    * shard doc's keep/drop decision never needs base-vs-base CC)
+    * directly.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.incrementalApplyWith(
+      DedupQueries.incrementalIndex(s, dir), dir).orderBy("doc_id")
+
+  private val q137Sql =
+    s"""WITH RECURSIVE sp AS (SELECT MAX(doc_id) * 4 // 5 AS v FROM documents),
+       |$dropCtes
+       |SELECT doc_id, source, n_chars FROM exact_keep
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |  AND doc_id >= (SELECT v FROM sp)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_dedup_apply"  -> (q111 _),
-    "q112_dedup_report" -> (q112 _))
+    "q112_dedup_report" -> (q112 _),
+    "q137_dedup_incr_apply" -> (q137 _))
 
   val oracles: Map[String, String] = Map(
     "q111_dedup_apply"  -> q111Sql,
-    "q112_dedup_report" -> q112Sql)
+    "q112_dedup_report" -> q112Sql,
+    "q137_dedup_incr_apply" -> q137Sql)
 }

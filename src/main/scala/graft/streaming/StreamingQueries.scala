@@ -177,17 +177,27 @@ object StreamingQueries {
     * session hygiene).
     */
   /** State-operator row counts (operatorName → numRowsTotal, from the
-    * final StreamingQueryProgress) of the LAST drained stream —
-    * published for harness assertions (ScaleStress's ×R state-bound
-    * gate, r12). Reset at each drain's start so a stateless query
-    * never reads its predecessor's state; empty when no batch ran.
+    * final StreamingQueryProgress), ACCUMULATED across every drain
+    * since the last [[resetStateRows]] — published for harness
+    * assertions (ScaleStress's ×R state-bound gate, r12). A reader
+    * resets BEFORE running a query and reads after it returns; a
+    * query that drains several streams (none today) then sums all of
+    * them instead of only the last drain's (ADVICE r12 — the
+    * overwrite-per-drain slot under-measured multi-drain state).
+    * Like [[sinkModeOverride]], this is part of the sequential-
+    * harness contract: readers run queries one at a time.
     */
   @volatile private[graft] var lastStateRowsByOp: Seq[(String, Long)] =
     Seq.empty
 
+  /** Clear the accumulated state-row capture (call before the query
+    * under measurement — a stateless query must not inherit its
+    * predecessor's rows).
+    */
+  private[graft] def resetStateRows(): Unit = lastStateRowsByOp = Seq.empty
+
   private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
       mode: OutputMode): DataFrame = {
-    lastStateRowsByOp = Seq.empty
     val useFile = sinkMode == "file"
     val name = s"${prefix}_${System.nanoTime()}"
     val fileBase = s"target/stream_sink/$name"
@@ -259,7 +269,7 @@ object StreamingQueries {
       val c0 = cpuNow()
       val t0 = System.nanoTime()
       q.processAllAvailable()
-      lastStateRowsByOp = Option(q.lastProgress).toSeq
+      lastStateRowsByOp = lastStateRowsByOp ++ Option(q.lastProgress).toSeq
         .flatMap(_.stateOperators.toSeq)
         .map(so => (so.operatorName, so.numRowsTotal))
       val nb = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)

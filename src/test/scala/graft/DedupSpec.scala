@@ -140,6 +140,54 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** r13: [[DedupQueries.level3BucketPairs]] (the local counting-sort
+    * kernel that replaced the global explode×8 → shuffle → sort
+    * level-3 pipeline) against an independent reference: group the
+    * members per interleaved position with plain Scala groupBy on
+    * [[graft.functions.Hashing.simHashInterleavedChunks]]-equivalent
+    * bit math, apply the same cap/Hamming rules. Pair sets, sentinel
+    * counts, and sentinel-only (budget-skip) mode must all agree.
+    */
+  test("level3BucketPairs matches a brute-force interleaved re-block") {
+    val rnd = new scala.util.Random(13)
+    // 400 members: half share a 15-bit-agreement base (the real
+    // forwarded-bucket shape), half fully random; a few exact dups
+    val base = rnd.nextLong()
+    val codes = (0 until 200).map(_ => (base & 0x7FFFL) | (rnd.nextLong() << 15)) ++
+      (0 until 190).map(_ => rnd.nextLong()) ++ (0 until 10).map(_ => base)
+    val ids = codes.indices.map(i => 1000L + i).toArray
+    val svs = codes.toArray
+    def interleaved(sv: Long, k: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, j) => acc | (((sv >>> (8 * j + k)) & 1L) << j))
+    val cap = 64
+    val mh = 7
+    val expectPairs = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    var expectSentinels = 0
+    var expectDroppedMembers = 0L
+    for (k <- 0 until 8) {
+      svs.indices.groupBy(i => interleaved(svs(i), k)).values.foreach { g =>
+        if (g.size > cap) { expectSentinels += 1; expectDroppedMembers += g.size }
+        else if (g.size >= 2)
+          for (x <- g; y <- g; if ids(x) < ids(y)) {
+            val h = java.lang.Long.bitCount(svs(x) ^ svs(y))
+            if (h <= mh) expectPairs += ((ids(x), ids(y), h))
+          }
+      }
+    }
+    val got = graft.queries.DedupQueries
+      .level3BucketPairs(ids, svs, mh, cap, expand = true).toVector
+    val gotPairs = got.filter(_._3 >= 0)
+    assert(gotPairs.toSet === expectPairs.toSet)
+    assert(gotPairs.size === gotPairs.toSet.size, "kernel emitted duplicate pairs")
+    val sentinels = got.filter(_._3 < 0)
+    assert(sentinels.size === expectSentinels)
+    assert(sentinels.map(_._2).sum === expectDroppedMembers)
+    // budget-skip mode: one whole-bucket sentinel, zero pairs
+    val skipped = graft.queries.DedupQueries
+      .level3BucketPairs(ids, svs, mh, cap, expand = false).toVector
+    assert(skipped === Vector((-1L, ids.length.toLong, -1)))
+  }
+
   /** Regression (r7, mirrors the q36 fix): an exact-dup clique larger
     * than MaxBucket floods every one of its 16 band buckets past the
     * cap — before the exact-signature key its pairs silently dropped,

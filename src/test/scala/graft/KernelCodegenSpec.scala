@@ -151,6 +151,27 @@ class KernelCodegenSpec extends AnyFunSuite {
     assert(e.nullSafeEval(arr(4L, 7L, 8L), arr(4L, 7L, 8L)) === 3L)
   }
 
+  /** ADVICE r12: the kernel's TYPE contract is enforced at analysis —
+    * a call site feeding anything but null-element-free array<bigint>
+    * (where getLong would read garbage and silently skew Jaccard)
+    * fails loudly instead of miscounting.
+    */
+  test("sorted-intersect kernel rejects non-long / null-element arrays") {
+    import graft.functions.SortedIntersectCount
+    val strings = Seq((Array("a"), Array("b"))).toDF("a", "b")
+    val ex1 = intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(SortedIntersectCount($"a", $"b")).collect()
+    }
+    assert(ex1.getMessage.contains("sorted_intersect_count"))
+    // boxed Option[Long] elements infer containsNull = true
+    val nullable = Seq((Array(Option(1L), None), Array(Option(1L))))
+      .toDF("a", "b")
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(SortedIntersectCount($"a", $"b")).collect()
+    }
+    assert(ex2.getMessage.contains("sorted_intersect_count"))
+  }
+
   test("interpreted eval equals codegen results (MinHash/SimHash parity)") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog every day"),
