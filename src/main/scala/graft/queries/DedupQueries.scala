@@ -623,6 +623,41 @@ object DedupQueries {
           array(xxhash64(lit("exact-sig"), col("sig")))))
           .as(Seq("band", "key")))
 
+  /** The q35 blocking-key rows FLATTENED for the streaming near-dup
+    * operator (q138): (doc_id, n, h1, h2, ks, band, key) — the same
+    * signature/band-key construction as [[minHashKeyed]] (identical
+    * primitives and parameters, so stream and batch surface the SAME
+    * candidates), minus the `sk` level-2 sketch (the stream holds a
+    * capped per-bucket member list instead of re-blocking). `ks`
+    * carries ALL 16 band keys so the stateful operator can assign
+    * each pair ONE owning bucket (min matching band) and emit with no
+    * downstream dedup — see StreamingQueries.q138. Works on a
+    * streaming DataFrame: every expression here is a stateless
+    * per-row map.
+    */
+  private[graft] def streamKeyedMembers(docs: DataFrame): DataFrame =
+    Hashing.minHashSignaturesWithContent(
+        shingle2Of(docs), "doc_id", "shingles", 128)
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        xxhash64(col("hs")).as("h1"),
+        xxhash64(lit("s2"), col("hs")).as("h2"),
+        Hashing.bandKeys(col("sig"), bands = 16, rows = 8).as("ks"),
+        posexplode(concat(
+          Hashing.bandKeys(col("sig"), bands = 16, rows = 8),
+          array(xxhash64(lit("exact-sig"), col("sig")))))
+          .as(Seq("band", "key")))
+
+  /** (doc_id, hsh) hashed-feature table of a (doc_id, text) corpus —
+    * the verify payload q138's stream-static join fetches (identical
+    * encoding to the batch verify fetch, so jaccard values match
+    * bit-for-bit).
+    */
+  private[graft] def hashedFeaturesOf(docs: DataFrame): DataFrame =
+    hashedFeatures(shingle2Of(docs), "shingles")
+
+  /** [[jaccard]] for callers outside this object (q138's verify). */
+  private[graft] def jaccardCol(a: Column, b: Column): Column = jaccard(a, b)
+
   private[graft] def minHashPairs(raw: DataFrame): DataFrame = {
     val bucketParts = bucketAggParts(raw)
     val sh = shingle2Of(raw)
@@ -1829,6 +1864,13 @@ object DedupQueries {
 
   private def gramJaccardSql(n: Int, thresh: Double): String =
     gramJaccardPairsSql(n, thresh) + "\nORDER BY a, b"
+
+  /** q35's brute-force oracle, shared by the streaming near-dup
+    * operator (q138): a drained stream must equal the batch pair set,
+    * which at verify scale equals brute force (see the recall note
+    * above [[tokSql]]).
+    */
+  private[graft] def nearDupOracleSql: String = gramJaccardSql(2, 0.5)
 
   /** q136's brute-force oracle: all-pairs 2-shingle Jaccard ≥ 0.5
     * restricted to pairs whose HIGHER id is in the increment (new ids

@@ -221,6 +221,23 @@ object StreamingQueries {
     // micro-batch drain (N = batches run — a commit-bound query shows
     // its batch count next to its wall), `<q>_snap` the sink snapshot
     // + state-store unload.
+    // State-store provider follows the sink regime (r13, found by the
+    // ×512 distinct streams probe): the default HDFS-backed provider
+    // keeps every partition's state map IN-HEAP — q75's ~49 M merged
+    // session rows (95.5k × 512, exactly the linear bound) killed the
+    // 8 g JVM mid-drain, the fourth non-spillable in-memory class
+    // after the ×128/×512 build-side OOMs. The file sink IS the scale
+    // path (selected at ×32+), so it pins the disk-backed RocksDB
+    // provider for the query's lifetime (fixed into the checkpoint at
+    // start — each runToSnapshot starts a fresh checkpoint, so
+    // switching per run is safe); gate-scale memory-sink runs keep the
+    // in-heap provider's lower per-query setup cost. A production
+    // deployment runs RocksDB unconditionally for the same reason.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    if (useFile)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
     val q = graft.RoundStats.timed(s"${prefix}_start") {
       try {
         // env hardening (cf. ScopedConf.TinyLoopRows): a malformed or
@@ -263,6 +280,10 @@ object StreamingQueries {
               "(Update emits deltas; a full-state snapshot would be wrong)")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
+        if (useFile) prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None    => s.conf.unset(provKey)
+        }
       }
     }
     try {
@@ -812,6 +833,146 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- q138
+  /** One exploded blocking-key row of the document stream (q138):
+    * the doc's id, content signature (n = shingle count, h1/h2 =
+    * double-hash of the sorted shingle-hash set), ALL 16 LSH band
+    * keys (`ks` — the pair-ownership rule below reads them), and the
+    * (band, key) this row lands in (band 16 = the exact-signature key
+    * space, cf. the batch pipeline).
+    */
+  // not `private`: Spark's codegen'd object encoders (SafeProjection)
+  // instantiate these from generated Java and cannot touch a
+  // private class
+  case class KeyedMember(doc_id: Long, n: Int, h1: Long, h2: Long,
+      ks: Array[Long], band: Int, key: Long)
+
+  case class CandPair(a: Long, b: Long, exact: Boolean)
+
+  /** Per-bucket cap on the streaming member state (default 4× the
+    * batch [[graft.queries.DedupQueries.MaxBucket]]): past it a bucket
+    * is saturated — later arrivals neither pair nor enter state. The
+    * batch pipeline re-blocks oversized buckets instead; a saturated
+    * STREAMING bucket is a duplicate flood whose identical-content
+    * pairs the uncapped exact band (16) still owns, and the cap is
+    * what bounds per-key state under adversarial input.
+    */
+  private def streamBucketCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.streamBucketCap")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(256)
+
+  /** Streaming NEAR-dup dedup (r13) — the streaming form of q35, the
+    * operator a Kafka-fed corpus pipeline runs to flag each incoming
+    * document against everything already seen: per-doc MinHash(128) +
+    * LSH(16×8) blocking keys (the EXACT batch construction —
+    * [[graft.queries.DedupQueries.streamKeyedMembers]]), a
+    * `flatMapGroupsWithState` keyed by (band, key) whose state is the
+    * bucket's member list (the q136 standing index, living in a state
+    * store instead of a parquet table), and a stream-static verify
+    * join against the corpus's hashed-feature table.
+    *
+    * Pair OWNERSHIP makes emission exactly-once with no stateful
+    * downstream dedup: every member carries all 16 band keys, so the
+    * bucket at band b emits a colliding pair iff b is the MINIMUM
+    * matching band (and the exact-signature bucket, band 16, iff NO
+    * band matches — possible only via a band-key hash collision). One
+    * stateful operator end-to-end; the verify join is stateless per
+    * micro-batch against the static feature table (planner picks
+    * broadcast at gate scale; a deployment bucketizes the corpus side).
+    *
+    * Scale: state is one row per occupied (band, key) bucket holding
+    * ≤ cap members (~17 buckets/doc — the standing LSH index shape,
+    * linear in corpus), so the state store must be disk-backed at
+    * corpus scale: the query pins the RocksDB provider for its
+    * lifetime. Oracle: q35's brute-force SQL — the drained stream
+    * must equal the batch pair set.
+    */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docsStream = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val keyed = graft.queries.DedupQueries.streamKeyedMembers(docsStream)
+      .as[KeyedMember]
+    val cap = streamBucketCap(s)
+    val candidates = keyed
+      .groupByKey(m => (m.band, m.key))
+      .flatMapGroupsWithState[List[KeyedMember], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          var mem = state.getOption.getOrElse(Nil)
+          var sz = mem.size
+          val out = List.newBuilder[CandPair]
+          rows.foreach { r =>
+            // band 16 (exact-signature space) is uncapped like the
+            // batch pipeline: its expansion is output-sized for true
+            // duplicate cliques, and it is the recall floor the cap
+            // never touches
+            if (band == 16 || sz < cap) {
+              mem.foreach { m =>
+                if (m.doc_id != r.doc_id) {
+                  // ownership: emit from the min matching band only
+                  var minMatch = -1
+                  var i = 15
+                  while (i >= 0) {
+                    if (m.ks(i) == r.ks(i)) minMatch = i
+                    i -= 1
+                  }
+                  val owns =
+                    if (band < 16) minMatch == band else minMatch < 0
+                  if (owns) {
+                    val exact =
+                      m.n == r.n && m.h1 == r.h1 && m.h2 == r.h2
+                    // q37's size-ratio prune: J ≥ 0.5 ⇒ n_min/n_max
+                    // ≥ 0.5 — zero false negatives
+                    val plausible = math.min(m.n, r.n).toDouble /
+                      math.max(m.n, r.n) >= 0.5
+                    if (exact || plausible)
+                      out += CandPair(math.min(m.doc_id, r.doc_id),
+                        math.max(m.doc_id, r.doc_id), exact)
+                  }
+                }
+              }
+              mem = r :: mem
+              sz += 1
+            }
+          }
+          state.update(mem)
+          out.result().iterator
+      }
+    val feats = graft.queries.DedupQueries.hashedFeaturesOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val out = candidates.toDF()
+      .join(feats.select(col("doc_id").as("a"), col("hsh").as("f_a")), "a")
+      .join(feats.select(col("doc_id").as("b"), col("hsh").as("f_b")), "b")
+      .select(col("a"), col("b"),
+        when(col("exact"), lit(1.0))
+          .otherwise(graft.queries.DedupQueries.jaccardCol(
+            col("f_a"), col("f_b")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    // corpus-scale member-list state ⇒ disk-backed store; the conf is
+    // fixed into the query at start, restored for whatever runs next
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try runToSnapshot(s, out, "q138_sink", OutputMode.Append)
+      .orderBy("a", "b")
+    finally prevProv match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_stream_session_window" -> (q75 _),
     "q28_stream_tumble"      -> (q28 _),
@@ -822,7 +983,8 @@ object StreamingQueries {
     "q98_stream_left_join"   -> (q98 _),
     "q125_stream_full_join"  -> (q125 _),
     "q108_stream_static_join" -> (q108 _),
-    "q132_stream_temporal_join" -> (q132 _))
+    "q132_stream_temporal_join" -> (q132 _),
+    "q138_stream_dedup_near" -> (q138 _))
 
   /** Streaming results are asserted identical to their batch forms, so
     * they reuse the batch oracle SQL (q27 / q20 / join shapes).
@@ -919,6 +1081,9 @@ object StreamingQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts
         |ORDER BY p.event_id""".stripMargin,
+    // streaming near-dup ≡ batch q35 ≡ brute force at verify scale
+    "q138_stream_dedup_near" ->
+      graft.queries.DedupQueries.nearDupOracleSql,
     "q75_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
