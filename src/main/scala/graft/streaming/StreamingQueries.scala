@@ -197,7 +197,7 @@ object StreamingQueries {
   private[graft] def resetStateRows(): Unit = lastStateRowsByOp = Seq.empty
 
   private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, corpusLinearState: Boolean = false): DataFrame = {
     val useFile = sinkMode == "file"
     val name = s"${prefix}_${System.nanoTime()}"
     val fileBase = s"target/stream_sink/$name"
@@ -221,21 +221,25 @@ object StreamingQueries {
     // micro-batch drain (N = batches run — a commit-bound query shows
     // its batch count next to its wall), `<q>_snap` the sink snapshot
     // + state-store unload.
-    // State-store provider follows the sink regime (r13, found by the
-    // ×512 distinct streams probe): the default HDFS-backed provider
-    // keeps every partition's state map IN-HEAP — q75's ~49 M merged
-    // session rows (95.5k × 512, exactly the linear bound) killed the
-    // 8 g JVM mid-drain, the fourth non-spillable in-memory class
-    // after the ×128/×512 build-side OOMs. The file sink IS the scale
-    // path (selected at ×32+), so it pins the disk-backed RocksDB
-    // provider for the query's lifetime (fixed into the checkpoint at
-    // start — each runToSnapshot starts a fresh checkpoint, so
-    // switching per run is safe); gate-scale memory-sink runs keep the
-    // in-heap provider's lower per-query setup cost. A production
-    // deployment runs RocksDB unconditionally for the same reason.
+    // State-store provider: disk-backed RocksDB iff the query's state
+    // is CORPUS-LINEAR and the run is in the file-sink (scale) regime
+    // (r13, found by the ×512 distinct streams probe): the default
+    // HDFS-backed provider keeps every partition's state map IN-HEAP —
+    // q75's ~49 M merged session rows (95.5k × 512, exactly the linear
+    // bound) killed the 8 g JVM mid-drain, the fourth non-spillable
+    // in-memory class after the ×128/×512 build-side OOMs. The split
+    // is by STATE GROWTH LAW, not blanket: dedup keys (q47), session
+    // windows (q75) and LSH buckets (q138) grow with the corpus and
+    // must spill; watermark-bounded join buffers and fixed-span window
+    // aggs stay ~R-independent or rate×delay-bounded, and the same
+    // probe measured blanket RocksDB regressing them 4× (q125
+    // 92→368 s, 335 k state rows) for zero safety gain. The conf is
+    // fixed into the query's fresh checkpoint at start, restored
+    // after; gate-scale memory-sink runs keep the in-heap provider's
+    // lower per-query setup cost.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = s.conf.getOption(provKey)
-    if (useFile)
+    if (useFile && corpusLinearState)
       s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
     val q = graft.RoundStats.timed(s"${prefix}_start") {
@@ -280,7 +284,7 @@ object StreamingQueries {
               "(Update emits deltas; a full-state snapshot would be wrong)")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
-        if (useFile) prevProv match {
+        if (useFile && corpusLinearState) prevProv match {
           case Some(p) => s.conf.set(provKey, p)
           case None    => s.conf.unset(provKey)
         }
@@ -623,7 +627,9 @@ object StreamingQueries {
     val deduped = eventsStream(s, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    runToSnapshot(s, deduped, "q47_sink", OutputMode.Append)
+    // distinct-key state grows with the corpus → disk-backed at scale
+    runToSnapshot(s, deduped, "q47_sink", OutputMode.Append,
+      corpusLinearState = true)
       .orderBy("user_id", "event_type")
   }
 
@@ -806,7 +812,11 @@ object StreamingQueries {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
-    runToSnapshot(s, sessions, "q75_sink", OutputMode.Complete)
+    // merged-session state grows with the corpus (95.5k × R measured)
+    // → disk-backed at scale: the in-heap provider was the ×512 heap
+    // kill this flag exists for
+    runToSnapshot(s, sessions, "q75_sink", OutputMode.Complete,
+      corpusLinearState = true)
       .select(col("user_id"), col("win.start").as("session_start"),
         col("win.end").as("session_end"), col("n_events"), col("total"))
       .orderBy("user_id", "session_start")
@@ -895,11 +905,19 @@ object StreamingQueries {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val docsStream = s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .select(col("doc_id"), col("text"))
+    // The documents table ships BOTH ways: the driver's testdata dirs
+    // hold a single FILE `documents.parquet` (a file source needs a
+    // directory + glob), while Spark-written dirs (ScaleStress's
+    // stress corpora) hold a DIRECTORY of part files the glob would
+    // silently exclude — the ×512 streams probe read 0 rows that way.
+    val docRoot = new java.io.File(s"$dir/documents.parquet")
+    val docSource =
+      if (docRoot.isDirectory)
+        s.readStream.schema(docSchema).parquet(docRoot.getPath)
+      else
+        s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docsStream = docSource.select(col("doc_id"), col("text"))
     val keyed = graft.queries.DedupQueries.streamKeyedMembers(docsStream)
       .as[KeyedMember]
     val cap = streamBucketCap(s)
@@ -959,18 +977,11 @@ object StreamingQueries {
             col("f_a"), col("f_b")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    // corpus-scale member-list state ⇒ disk-backed store; the conf is
-    // fixed into the query at start, restored for whatever runs next
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try runToSnapshot(s, out, "q138_sink", OutputMode.Append)
+    // ~17 buckets/doc of member-list state ⇒ corpus-linear,
+    // disk-backed at scale
+    runToSnapshot(s, out, "q138_sink", OutputMode.Append,
+      corpusLinearState = true)
       .orderBy("a", "b")
-    finally prevProv match {
-      case Some(p) => s.conf.set(provKey, p)
-      case None    => s.conf.unset(provKey)
-    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
