@@ -142,7 +142,16 @@ object DedupQueries {
     */
   private[graft] val Level3MaxRowsKey =
     "spark.graft.dedup.simhashLevel3MaxRows"
-  private[graft] val Level3MaxRowsDefault: Long = 1500L * 1000L * 1000L
+  // Default re-derived for the localized kernel (r13): the old 1.5 B
+  // bounded ~24 B/keyed-row SHUFFLE scratch, which no longer exists —
+  // the ×512 distinct corpus already measures ~1.3 B keyed-row
+  // equivalents, so ×2048 (~5.2 B) would have tripped a guard that
+  // now only bounds LINEAR in-memory CPU (8 counting-sort passes) and
+  // capped, output-sized pair expansion (≤ ~252 pairs/member at full
+  // saturation). 16 B keyed rows ≈ 2 B forwarded members ≈ minutes of
+  // kernel CPU on one box — the valve now trips only on floods an
+  // order past the measured single-JVM envelope.
+  private[graft] val Level3MaxRowsDefault: Long = 16L * 1000L * 1000L * 1000L
 
   private def level3MaxRows(s: SparkSession): Long =
     s.conf.get(Level3MaxRowsKey, Level3MaxRowsDefault.toString)
