@@ -96,6 +96,14 @@ object ScaleStress {
     * count with the R-fold factor in it — don't treat the densified
     * count as a regression.
     */
+  /** Write width for replicated stress tables: one partition per ~16
+    * base replicas (≈ tens of MB per part for the testdata tables),
+    * floored at the session's parallelism so small reps still write —
+    * and later scan — in parallel.
+    */
+  private def replWriteParts(spark: SparkSession, rep: Int): Int =
+    math.max(spark.sparkContext.defaultParallelism, rep / 16)
+
   def buildDir(spark: SparkSession, srcDir: String, outDir: String,
       rep: Int, distinctDocs: Boolean = false): Unit = {
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -110,7 +118,16 @@ object ScaleStress {
           (d, c) => d.withColumn(c, col(c) + col("__r") * Base))
         .drop("__r")
       if (!singleFile) {
-        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        // The crossJoin inherits the SOURCE's partitioning (testdata
+        // tables are single files ⇒ ONE partition): at ×2048 that
+        // wrote the whole table as one part file with multi-hundred-MB
+        // row groups, and the ×2048 probe OOM'd in the parquet scan's
+        // vectored-IO buffers — scan heap is row-group-sized, and a
+        // single giant file also caps scan parallelism at its split
+        // count. Spread the write so files (hence row groups) stay
+        // bounded — the layout a real 100 TB corpus has anyway.
+        out.repartition(replWriteParts(spark, rep))
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       } else {
         val tmp = s"$outDir/__tmp_$name"
         out.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -179,6 +196,9 @@ object ScaleStress {
         transform(split(trim(lower(col("text"))), "\\s+"),
           t => concat(salt, t))))
       .drop("__r")
+      // bounded files/row groups + parallel write — see repl()'s note
+      // (the single-part layout OOM'd the ×2048 scan)
+      .repartition(replWriteParts(spark, rep))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
