@@ -104,6 +104,25 @@ object ScaleStress {
   private def replWriteParts(spark: SparkSession, rep: Int): Int =
     math.max(spark.sparkContext.defaultParallelism, rep / 16)
 
+  /** ×R replication SHAPED FOR SCALE (r13): the replica index
+    * `spark.range(rep)` is the partitioned STREAM side and the base
+    * table BROADCASTS — the output inherits the range's
+    * [[replWriteParts]] partitioning with ZERO shuffle, so the write
+    * is parallel, every part file holds ~16 replicas (bounded row
+    * groups), and nothing corpus-sized ever hits shuffle scratch.
+    * The first two ×2048 attempts measured both failure modes this
+    * shape avoids: base-side crossJoin inherits the source's ONE
+    * partition (a 1.7 GB single part file whose row-group-sized scan
+    * buffers OOM'd q37), and repartition-before-write spools the
+    * whole replicated table (~60 GB at ×2048) through shuffle scratch
+    * and filled the disk.
+    */
+  private def replicated(spark: SparkSession, srcPath: String,
+      rep: Int): DataFrame =
+    spark.range(0L, rep.toLong, 1L, replWriteParts(spark, rep))
+      .select(col("id").as("__r"))
+      .crossJoin(broadcast(spark.read.parquet(srcPath)))
+
   def buildDir(spark: SparkSession, srcDir: String, outDir: String,
       rep: Int, distinctDocs: Boolean = false): Unit = {
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -112,22 +131,11 @@ object ScaleStress {
     }
     def repl(name: String, idCols: Seq[String], singleFile: Boolean = false): Unit = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val out = idCols.foldLeft(
-          spark.read.parquet(s"$srcDir/$name.parquet")
-            .crossJoin(spark.range(rep).select(col("id").as("__r"))))(
+      val out = idCols.foldLeft(replicated(spark, s"$srcDir/$name.parquet", rep))(
           (d, c) => d.withColumn(c, col(c) + col("__r") * Base))
         .drop("__r")
       if (!singleFile) {
-        // The crossJoin inherits the SOURCE's partitioning (testdata
-        // tables are single files ⇒ ONE partition): at ×2048 that
-        // wrote the whole table as one part file with multi-hundred-MB
-        // row groups, and the ×2048 probe OOM'd in the parquet scan's
-        // vectored-IO buffers — scan heap is row-group-sized, and a
-        // single giant file also caps scan parallelism at its split
-        // count. Spread the write so files (hence row groups) stay
-        // bounded — the layout a real 100 TB corpus has anyway.
-        out.repartition(replWriteParts(spark, rep))
-          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       } else {
         val tmp = s"$outDir/__tmp_$name"
         out.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -189,16 +197,12 @@ object ScaleStress {
   def buildDistinctDocs(spark: SparkSession, srcDir: String, outDir: String,
       rep: Int): Unit = {
     val salt = concat(lit("z"), col("__r").cast("string"), lit("q"))
-    spark.read.parquet(s"$srcDir/documents.parquet")
-      .crossJoin(spark.range(rep).select(col("id").as("__r")))
+    replicated(spark, s"$srcDir/documents.parquet", rep)
       .withColumn("doc_id", col("doc_id") + col("__r") * Base)
       .withColumn("text", concat_ws(" ",
         transform(split(trim(lower(col("text"))), "\\s+"),
           t => concat(salt, t))))
       .drop("__r")
-      // bounded files/row groups + parallel write — see repl()'s note
-      // (the single-part layout OOM'd the ×2048 scan)
-      .repartition(replWriteParts(spark, rep))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
