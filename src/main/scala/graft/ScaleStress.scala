@@ -123,8 +123,17 @@ object ScaleStress {
       .select(col("id").as("__r"))
       .crossJoin(broadcast(spark.read.parquet(srcPath)))
 
+  /** `docsOnly`: build just the dims + documents table. The distinct
+    * dedup gate reads NOTHING else, and at ×2048 the unused
+    * lineitem/orders/events/embeddings replicas cost ~23 GB of the
+    * same scratch disk the probe's own pair/bucket checkpoints need —
+    * at that rep the binding resource is the one the probe is there
+    * to measure. `builddistinct`/`streams` modes keep complete dirs
+    * (r12: Bench and the stream family run on them directly).
+    */
   def buildDir(spark: SparkSession, srcDir: String, outDir: String,
-      rep: Int, distinctDocs: Boolean = false): Unit = {
+      rep: Int, distinctDocs: Boolean = false,
+      docsOnly: Boolean = false): Unit = {
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -148,20 +157,24 @@ object ScaleStress {
         Files.deleteIfExists(Paths.get(tmp))
       }
     }
-    repl("orders", Seq("o_orderkey"))
-    repl("lineitem", Seq("l_orderkey"))
+    if (!docsOnly) {
+      repl("orders", Seq("o_orderkey"))
+      repl("lineitem", Seq("l_orderkey"))
+    }
     // r12: distinct-regime dirs are now COMPLETE (every table, not just
     // documents) — Bench/streams can run on them without symlinking the
     // flood dir's tables in. Only the documents table differs between
     // regimes (exact ×R copies vs per-replica salted text).
     if (distinctDocs) buildDistinctDocs(spark, srcDir, outDir, rep)
     else repl("documents", Seq("doc_id"))
-    repl("embeddings", Seq("vec_id"))
-    // user_id too — see the scaling note above (q108's stream-static
-    // enrichment keeps matching only base-replica users against the
-    // as-is customer dim; it is stateless, so its scaling is not a
-    // stress claim)
-    repl("events", Seq("event_id", "user_id"), singleFile = true)
+    if (!docsOnly) {
+      repl("embeddings", Seq("vec_id"))
+      // user_id too — see the scaling note above (q108's stream-static
+      // enrichment keeps matching only base-replica users against the
+      // as-is customer dim; it is stateless, so its scaling is not a
+      // stress claim)
+      repl("events", Seq("event_id", "user_id"), singleFile = true)
+    }
   }
 
   /** DISTINCT-corpus documents table (r11, the VERDICT r10 top ask):
@@ -264,7 +277,7 @@ object ScaleStress {
     import graft.queries.DedupQueries
     val outDir = s"target/stress_distinct_x$rep"
     val tB = System.nanoTime()
-    buildDir(spark, srcDir, outDir, rep, distinctDocs = true)
+    buildDir(spark, srcDir, outDir, rep, distinctDocs = true, docsOnly = true)
     println(f"[stress] built distinct $outDir in ${
       (System.nanoTime() - tB) / 1e9}%.1f s")
 
