@@ -1881,6 +1881,19 @@ object DedupQueries {
     */
   private[graft] def nearDupOracleSql: String = gramJaccardSql(2, 0.5)
 
+  /** q139's oracle (streaming apply): the brute-force pair set grouped
+    * by its LARGER member — the pairwise min-id-wins drop rule. One
+    * row per dropped doc with the strongest match and the evidence
+    * count; deterministic end to end (same hash functions both sides,
+    * and at verify scale the engine pair set ≡ brute force — the
+    * standing q35/q138 gate).
+    */
+  private[graft] def nearDupApplyOracleSql: String =
+    s"""SELECT b AS doc_id, MAX(jaccard) AS max_jaccard,
+       |       COUNT(*) AS n_dup_sources
+       |FROM (${gramJaccardPairsSql(2, 0.5)})
+       |GROUP BY b ORDER BY doc_id""".stripMargin
+
   /** q136's brute-force oracle: all-pairs 2-shingle Jaccard ≥ 0.5
     * restricted to pairs whose HIGHER id is in the increment (new ids
     * are the top ~20% by construction, so b ≥ split ⟺ the pair

@@ -897,7 +897,13 @@ object StreamingQueries {
     * lifetime. Oracle: q35's brute-force SQL — the drained stream
     * must equal the batch pair set.
     */
-  def q138(s: SparkSession, dir: String): DataFrame = {
+  /** The verified streaming near-dup pair stream — q138's engine,
+    * shared with q139 (apply): candidates from the (band,key)-keyed
+    * `flatMapGroupsWithState` bucket index, verified by the stateless
+    * stream-static join. Returns the UN-drained streaming frame
+    * (a, b, jaccard) with a < b; callers pick the sink shape.
+    */
+  private def streamNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -968,7 +974,7 @@ object StreamingQueries {
       }
     val feats = graft.queries.DedupQueries.hashedFeaturesOf(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val out = candidates.toDF()
+    candidates.toDF()
       .join(feats.select(col("doc_id").as("a"), col("hsh").as("f_a")), "a")
       .join(feats.select(col("doc_id").as("b"), col("hsh").as("f_b")), "b")
       .select(col("a"), col("b"),
@@ -977,12 +983,52 @@ object StreamingQueries {
             col("f_a"), col("f_b")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  def q138(s: SparkSession, dir: String): DataFrame =
     // ~17 buckets/doc of member-list state ⇒ corpus-linear,
     // disk-backed at scale
-    runToSnapshot(s, out, "q138_sink", OutputMode.Append,
-      corpusLinearState = true)
+    runToSnapshot(s, streamNearDupPairs(s, dir), "q138_sink",
+      OutputMode.Append, corpusLinearState = true)
       .orderBy("a", "b")
-  }
+
+  /** Streaming incremental APPLY (r13) — the keep/drop decision stream
+    * that completes the streaming dedup story the way q111 completes
+    * the batch one (q35→q111, q136→q137, q138→q139): as documents
+    * ingest, emit a DROP verdict for every doc that near-matches
+    * (Jaccard ≥ 0.5) a doc with a SMALLER doc_id already in the
+    * standing bucket index. The keeper convention is pairwise
+    * min-doc_id — the same keeper rule as the batch family; when
+    * ingest order follows id assignment (the append-only corpus case)
+    * this is exactly greedy first-seen-wins. It is deliberately the
+    * ONLINE rule, not q111's connected-component one: a component's
+    * non-min member with no smaller-id pair of its own (doc 2 in
+    * pairs {(1,3),(2,3)}) survives here — at decision time nothing it
+    * matched had been seen — while q111's retroactive clustering
+    * drops it. Both ends of that spectrum are production shapes; the
+    * online rule is the one a stream can decide at arrival, finally
+    * (pairs only ever form against EARLIER members, so a verdict
+    * never needs revision).
+    *
+    * Drop flags ride the pair stream (one row per verified pair whose
+    * larger side is the doc — idempotent evidence, exactly-once per
+    * pair via q138's ownership rule); the published view groups them
+    * into one row per dropped doc with the strongest match and the
+    * evidence count. State/scale identical to q138 (the shared bucket
+    * index is the only stateful op — corpus-linear, disk-backed at
+    * scale). Oracle: the batch pair set grouped by its larger member —
+    * deterministic end to end (no LSH draw: stream and oracle hash
+    * the same functions).
+    */
+  def q139(s: SparkSession, dir: String): DataFrame =
+    runToSnapshot(s,
+      streamNearDupPairs(s, dir)
+        .select(col("b").as("doc_id"), col("jaccard")),
+      "q139_sink", OutputMode.Append, corpusLinearState = true)
+      .groupBy("doc_id")
+      .agg(max(col("jaccard")).as("max_jaccard"),
+        count(lit(1)).as("n_dup_sources"))
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_stream_session_window" -> (q75 _),
@@ -995,7 +1041,8 @@ object StreamingQueries {
     "q125_stream_full_join"  -> (q125 _),
     "q108_stream_static_join" -> (q108 _),
     "q132_stream_temporal_join" -> (q132 _),
-    "q138_stream_dedup_near" -> (q138 _))
+    "q138_stream_dedup_near" -> (q138 _),
+    "q139_stream_dedup_apply" -> (q139 _))
 
   /** Streaming results are asserted identical to their batch forms, so
     * they reuse the batch oracle SQL (q27 / q20 / join shapes).
@@ -1095,6 +1142,10 @@ object StreamingQueries {
     // streaming near-dup ≡ batch q35 ≡ brute force at verify scale
     "q138_stream_dedup_near" ->
       graft.queries.DedupQueries.nearDupOracleSql,
+    // streaming apply ≡ the brute-force pair set grouped by its
+    // larger member (the pairwise min-id-wins drop rule)
+    "q139_stream_dedup_apply" ->
+      graft.queries.DedupQueries.nearDupApplyOracleSql,
     "q75_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

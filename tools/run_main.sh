@@ -15,9 +15,16 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# Snapshot the classes dir: the JVM loads classes lazily, so a
+# recompile DURING a long probe would mix old and new class versions
+# mid-run. The snapshot pins the binary the probe started with.
+SNAP=$(mktemp -d /tmp/graft_classes.XXXXXX)
+trap 'rm -rf "$SNAP"' EXIT
+cp -r target/scala-2.13/classes/. "$SNAP"/
+# no exec: the shell must outlive the JVM so the EXIT trap reaps SNAP
+java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$SNAP:/opt/spark/jars/*" \
   "$MAIN" "$@"
