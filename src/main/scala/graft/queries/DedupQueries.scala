@@ -1318,32 +1318,53 @@ object DedupQueries {
     // `docs`' own plan stats (the (id, code) projection), the actual
     // pre-shuffle relation here
     val bucketParts = bucketAggParts(docs)
-    // `buckets` feeds BOTH level filters — materialize once so the
-    // signature pipeline upstream isn't recomputed (cf. attachFeatures)
-    // pair-volume estimate riding the checkpoint job (cf. minHashPairs;
-    // an oversized chunk bucket re-blocks each member into ≤8
-    // sub-chunks capped at MaxBucket → ≤ 8·MaxBucket·sz) — drives the
-    // DISK_ONLY escalation for the caller's pair-set checkpoint (q36's
-    // simhash_pairs) and the Hamming-filtered unions below
-    val szEst = size(col("members")).cast("long")
-    val obsEst = Observation()
-    val buckets = graft.RoundStats.timed("simhash_buckets") {
-      bigCheckpoint(docs
-        .select(col("doc_id"), col("sim"),
-          posexplode(Hashing.simHashChunks(col("sim")))
-            .as(Seq("chunk_idx", "chunk")))
-        .repartition(bucketParts, col("chunk_idx"), col("chunk"))
-        .groupBy("chunk_idx", "chunk")
-        .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
-        .filter(size(col("members")) >= 2)
-        .observe(obsEst, coalesce(sum(
-            when(szEst <= MaxBucket, szEst * (szEst - 1L) / 2L)
-              .otherwise(lit(8L * MaxBucket) * szEst)), lit(0L))
-          .cast("long") // cf. minHashPairs: `/` is double division
-          .as("est_pairs"))) }
-    maybeEscalatePairStorage(buckets.sparkSession,
-      obsEst.get("est_pairs").asInstanceOf[Long], "simhash")
-    val small = buckets.filter(size(col("members")) <= MaxBucket)
+    // LEVEL-1 MEMBERSHIP STAYS FLAT (r13, found by the ×2048 distinct
+    // probe): the chunk key space is only 8×256 = 2048 values, so the
+    // old collect_list here sat UNDER ObjectHashAggregate's 128-key
+    // sort-fallback threshold per task — the hash-map path held each
+    // task's ENTIRE membership (corpus/tasks rows of list buffers) on
+    // heap at once: ~3.3 GB at ×1024 distinct (survived next to the
+    // storage pool), ~6.7 GB at ×2048 (the fifth envelope OOM class,
+    // stage-187 heap death in Collect.update + the checkpoint's
+    // UnsafeRow.copy). And 2048 keys is a reduce-parallelism CEILING
+    // at corpus scale — giant buckets' lists were built only to be
+    // re-exploded into level 2. So level 1 never builds lists now:
+    // ONE checkpointed flat membership table (this also deletes the
+    // old level-1 full-membership shuffle — flat rows go straight to
+    // their consumer exchanges), bucket SIZES as a partial-aggregated
+    // count collected to the driver (8×256 rows max — fixed-size,
+    // corpus-independent), and members routed by broadcast-joined
+    // size: ≤cap buckets collect bounded lists, oversized buckets
+    // flow FLAT into the level-2 re-key.
+    // Pair-volume estimate (cf. minHashPairs: an oversized chunk
+    // bucket re-blocks each member into ≤8 sub-chunks capped at
+    // MaxBucket → ≤ 8·MaxBucket·sz) now computes driver-side from the
+    // collected sizes and drives the same DISK_ONLY escalation for
+    // the caller's pair-set checkpoint and the unions below.
+    val (flat, sizesAgg, sizeRows) =
+      graft.RoundStats.timed("simhash_buckets") {
+        val f = bigCheckpoint(docs
+          .select(col("doc_id"), col("sim"),
+            posexplode(Hashing.simHashChunks(col("sim")))
+              .as(Seq("chunk_idx", "chunk"))))
+        val agg = f.groupBy("chunk_idx", "chunk")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") >= 2) // singleton buckets pair with nothing
+        (f, agg, agg.collect())
+      }
+    maybeEscalatePairStorage(flat.sparkSession,
+      sizeRows.iterator.map { r =>
+        val sz = r.getLong(2)
+        if (sz <= MaxBucket) sz * (sz - 1L) / 2L else 8L * MaxBucket * sz
+      }.sum, "simhash")
+    val memb = flat.join(
+      broadcast(flat.sparkSession.createDataFrame(
+        java.util.Arrays.asList(sizeRows: _*), sizesAgg.schema)),
+      Seq("chunk_idx", "chunk")) // inner: drops singleton-bucket members
+    val small = memb.filter(col("bsz") <= MaxBucket)
+      .repartition(bucketParts, col("chunk_idx"), col("chunk"))
+      .groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
     // Level-2 sub-bucket table, materialized once: it forks into the
     // capped pair expansion AND (r12) the level-3 re-block of
     // sub-buckets that STILL overflow — recomputing the overflow agg
@@ -1360,8 +1381,9 @@ object DedupQueries {
     // drop, odds ~#buckets²/2⁶⁴ ≈ 1e-6 at 5 M docs).
     val obsFwd = Observation()
     val sub2 = graft.RoundStats.timed("simhash_sub2") {
-      bigCheckpoint(buckets.filter(size(col("members")) > MaxBucket)
-        .select(col("chunk_idx"), col("chunk"), explode(col("members")).as("m"))
+      bigCheckpoint(memb.filter(col("bsz") > MaxBucket)
+        .select(col("chunk_idx"), col("chunk"),
+          struct(col("doc_id"), col("sim")).as("m"))
         .select(col("m"),
           posexplode(Hashing.simHashSubChunks(col("m.sim"), col("chunk_idx")))
             .as(Seq("sub_idx", "sub")),
@@ -1474,13 +1496,13 @@ object DedupQueries {
     // and those pairs ARE the output (output-sized work, not blowup).
     // Cap drops now cost only NEAR-dup recall, which the observe
     // metrics already surface — the two contracts no longer conflict.
-    // Derived from the CHECKPOINTED chunk-0 buckets (every doc sits in
-    // exactly one chunk-0 bucket, and a clique of ≥2 keeps its bucket
-    // past the ≥2 filter), so the signature pipeline is not recomputed
-    // and the regroup shuffles (id, code) rows once.
-    val exactCliques = buckets
+    // Derived from the CHECKPOINTED flat membership (every doc sits in
+    // exactly one chunk-0 bucket, and a clique of ≥2 survives the
+    // size join's ≥2 filter), so the signature pipeline is not
+    // recomputed and the regroup shuffles (id, code) rows once.
+    val exactCliques = memb
       .filter(col("chunk_idx") === 0)
-      .select(explode(col("members")).as("m"))
+      .select(struct(col("doc_id"), col("sim")).as("m"))
       // corpus-sized regroup (every multi-member chunk-0 bucket's docs)
       .repartition(bucketParts, col("m.sim"))
       .groupBy(col("m.sim").as("code"))
