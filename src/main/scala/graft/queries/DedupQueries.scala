@@ -266,6 +266,36 @@ object DedupQueries {
   private[queries] def bigCheckpoint(df: DataFrame): DataFrame =
     df.localCheckpoint(true, pairLevel(df.sparkSession))
 
+  /** Release a [[bigCheckpoint]]'s blocks the moment its LAST consumer
+    * has materialized (r13, from the ×2048 scratch attribution): a
+    * dedup pipeline's checkpoints all live until the section/bench
+    * harness releases them, so the PEAK scratch is their SUM — 15.5 GB
+    * for q37 alone at ×512, ~66 GB at ×2048, the box's binding
+    * resource and the measured ×4096 blocker. The bucket tables are
+    * roughly half of that and are dead as soon as the pair-expansion
+    * checkpoint (their only consumer, itself lineage-cut) is
+    * materialized — releasing them mid-pipeline halves the peak.
+    * `Dataset.unpersist` cannot do this (it consults the SQL cache
+    * manager, which never saw a localCheckpoint), so the release
+    * unpersists the checkpoint's own RDD via its LogicalRDD leaf.
+    * UNRECOVERABLE by design: the caller must guarantee no later plan
+    * references the frame (a localCheckpoint has no lineage to
+    * recompute from). `spark.graft.dedup.releaseBuckets=false` keeps
+    * the old hold-to-section-end behavior — a diagnostic hook (the
+    * width spec reads the bucket exchange's partition count off the
+    * surviving checkpoint; a debugging session may want the
+    * intermediates inspectable).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.dedup.releaseBuckets")
+        .forall(_.trim.equalsIgnoreCase("true")))
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ =>
+      }
+
   /** Child session scoped to one dedup pipeline, with AQE off.
     *
     * AQE's final-plan event loop intermittently deadlocks when
@@ -769,6 +799,10 @@ object DedupQueries {
         .union(expand(reblocked, MaxBucket))
         .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
         .distinct()) }
+    // `pairs` (its own lineage-cut checkpoint) was the bucket table's
+    // only consumer — free the pipeline's largest block set now
+    // instead of at section end (see releaseCheckpoint)
+    releaseCheckpoint(buckets)
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val verified = attachFeaturesBy(
@@ -1783,6 +1817,10 @@ object DedupQueries {
         .union(expandSigPairs(reblocked))
         .union(expandSigPairs(exactBuckets))
         .distinct()) }
+    // `pairs` (its own lineage-cut checkpoint) was the bucket table's
+    // only consumer — free the pipeline's largest block set now
+    // instead of at section end (see releaseCheckpoint)
+    releaseCheckpoint(buckets)
     val exactPairs = pairs.filter(col("exact"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val toVerify = pairs.filter(!col("exact") && col("plausible"))

@@ -463,12 +463,17 @@ class DedupSpec extends AnyFunSuite {
       s"tiny bytes/partition must out-size the session width ($expected)")
     assert(expected <= DedupQueries.BucketMaxParts)
     // the width must REACH an exchange: the bucket checkpoint persists
-    // at exactly the computed partition count. Snapshot the registry
+    // at exactly the computed partition count. The r13 in-pipeline
+    // bucket release (releaseCheckpoint) frees that checkpoint before
+    // minHashPairs returns, so the width evidence needs the
+    // diagnostic hold-back knob; the release itself is pinned right
+    // after with the knob at its default. Snapshot the registry
     // IMMEDIATELY after construction (the checkpoints are eager):
     // once minHashPairs returns, its intermediate DataFrames are
     // unreachable and a GC during the collect below lets the
     // ContextCleaner unpersist them — the registry delta would come
     // up empty (the suite's one intermittent flake, r12).
+    sTiny.conf.set("spark.graft.dedup.releaseBuckets", "false")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val viaWide = DedupQueries.minHashPairs(dfTiny)
     val newWidths = spark.sparkContext.getPersistentRDDs
@@ -479,6 +484,20 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
     assert(newWidths.contains(expected),
       s"no checkpoint ran at the stat-driven width $expected: $newWidths")
+    // r13 release pin: with the knob at its default (release ON), the
+    // stat-width bucket checkpoint must NOT survive the call — its
+    // blocks are freed the moment the pair-expansion checkpoint
+    // materializes (the ×2048 scratch-peak fix)
+    sTiny.conf.unset("spark.graft.dedup.releaseBuckets")
+    val beforeRel = spark.sparkContext.getPersistentRDDs.keySet
+    DedupQueries.minHashPairs(
+      sTiny.createDataFrame(docs).toDF("doc_id", "text"))
+    val survivingWidths = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !beforeRel(id) }
+      .values.map(_.getNumPartitions).toSet
+    assert(!survivingWidths.contains(expected),
+      s"bucket checkpoint (width $expected) survived the in-pipeline " +
+        s"release: $survivingWidths")
     // (b1) a localCheckpoint PRESERVES its origin plan's stats (Spark 4
     // LogicalRDD.fromDataset carries them), so a checkpointed corpus
     // still sizes past the session width — the mechanism survives the
