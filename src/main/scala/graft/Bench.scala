@@ -66,6 +66,88 @@ object Bench {
       } finally f.close()
     }.toOption
 
+  /** Scheduler-level evidence for the r13 weak mark (q136/q137's
+    * nondeterministic 17-22× per-stage CPU inflation on the driver
+    * host, same binary/data): per-query deltas of task count, task
+    * FAILURES, stage re-attempts (attemptNumber > 0 ⇒ a FetchFailed/
+    * lost-block resubmission recomputed work), and the sum of task
+    * executorRunTime/executorCpuTime. Reading: inflated task count or
+    * stage re-attempts ⇒ a retry storm recomputed stages; normal task
+    * counts with task-CPU matching a clean run but PROCESS CPU
+    * inflated ⇒ the burn is outside the scheduler (GC/JIT/VM threads
+    * — see [[threadCpuByClass]]); task-CPU itself inflated ⇒ the
+    * stage genuinely did more work per task.
+    */
+  private final class SchedCounters
+      extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskFails = new java.util.concurrent.atomic.AtomicLong
+    val stageReattempts = new java.util.concurrent.atomic.AtomicLong
+    val execRunMs = new java.util.concurrent.atomic.AtomicLong
+    val execCpuNs = new java.util.concurrent.atomic.AtomicLong
+    @volatile var firstFailure: String = ""
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      if (e.reason != org.apache.spark.Success) {
+        taskFails.incrementAndGet()
+        if (firstFailure.isEmpty)
+          firstFailure = e.reason.toString.linesIterator.take(1)
+            .mkString.take(200)
+      }
+      Option(e.taskMetrics).foreach { m =>
+        execRunMs.addAndGet(m.executorRunTime)
+        execCpuNs.addAndGet(m.executorCpuTime)
+      }
+    }
+    override def onStageSubmitted(
+        e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      if (e.stageInfo.attemptNumber() > 0) stageReattempts.incrementAndGet()
+    def snapshot(): (Long, Long, Long, Long, Long) =
+      (tasks.get, taskFails.get, stageReattempts.get,
+        execRunMs.get, execCpuNs.get)
+  }
+
+  /** Native-thread CPU by class from /proc/self/task (jiffies →
+    * seconds at HZ=100), attributing PROCESS CPU that the MXBeans
+    * can't see: G1's concurrent mark/refine workers and the GC
+    * worker pool are native VM threads invisible to ThreadMXBean, and
+    * getCollectionTime counts only STW pause WALL time — a
+    * concurrent-GC burn (heap-pressure episodes under the memory
+    * store) shows up ONLY here. Classes: gc (GC Thread / G1 *), jit
+    * (C1/C2 compiler), exec (executor task threads), other.
+    */
+  private def threadCpuByClass(): Map[String, Long] = {
+    val out = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val tasks = Option(new java.io.File("/proc/self/task").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    tasks.foreach { t =>
+      try {
+        val comm = {
+          val src = scala.io.Source.fromFile(new java.io.File(t, "comm"))
+          try src.mkString.trim finally src.close()
+        }
+        val stat = {
+          val src = scala.io.Source.fromFile(new java.io.File(t, "stat"))
+          try src.mkString finally src.close()
+        }
+        // fields after the ')' closing comm (comm itself may hold
+        // spaces): state is index 0, utime 11, stime 12
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+        val jiffies = rest(11).toLong + rest(12).toLong
+        val cls =
+          if (comm.startsWith("GC Thread") || comm.startsWith("G1 ") ||
+            comm.startsWith("VM Thread")) "gc"
+          else if (comm.contains("Compiler")) "jit"
+          else if (comm.startsWith("Executor task")) "exec"
+          else "other"
+        out(cls) += jiffies
+      } catch { case _: Exception => () }
+    }
+    out.toMap
+  }
+
   /** JVM-wide counters: (process CPU ns, GC ms, JIT compile ms). */
   private def jvmStat(): (Long, Long, Long) = {
     import java.lang.management.ManagementFactory
@@ -101,6 +183,17 @@ object Bench {
       .config("spark.rdd.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bisect hook (r14): inject session confs for A/B bench runs,
+    // e.g. SPARK_GRAFT_CONF="spark.graft.dedup.releaseBuckets=false"
+    // (';'-separated pairs). The dedup child sessions propagate the
+    // spark.graft.* keys, so this reaches the production pipelines.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
+    val sched = new SchedCounters
+    spark.sparkContext.addSparkListener(sched)
     // optional local-iteration subset (driver runs the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Untimed warmup: first query otherwise pays one-off JVM/JIT,
@@ -201,6 +294,13 @@ object Bench {
     // emitted under "stages" in the full JSON — the BENCH_r07 residue
     // (q133/q102 fixed cost) becomes per-round attributable.
     val stages = scala.collection.mutable.Map[String, Seq[RoundStats.Stage]]()
+    // per-query scheduler deltas: tasks, task failures, stage
+    // re-attempts, sum executor run s, sum executor CPU s (+ first
+    // failure reason when any task failed)
+    val schedQ = scala.collection.mutable.Map[
+      String, (Long, Long, Long, Double, Double, String)]()
+    // per-query native-thread CPU seconds by class (gc/jit/exec/other)
+    val threadQ = scala.collection.mutable.Map[String, Map[String, Double]]()
     RoundStats.drain() // discard anything the warmup recorded
     // toSeq.sortBy: fixed execution order + per-query progress on
     // stderr (stdout stays JSON-only for the driver)
@@ -208,6 +308,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val c0 = jvmStat()._1
+      val sc0 = sched.snapshot()
+      val fail0 = sched.firstFailure
+      val th0 = threadCpuByClass()
       val t0 = System.nanoTime()
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       val watchdog = if (!watchdogEnabled) None else Some {
@@ -249,6 +352,19 @@ object Bench {
       locally {
         val st = RoundStats.drain()
         if (st.nonEmpty) stages(name) = st
+      }
+      locally {
+        val sc1 = sched.snapshot()
+        val newFail =
+          if (sched.firstFailure != fail0 || (sc1._2 - sc0._2) > 0)
+            sched.firstFailure else ""
+        schedQ(name) = (sc1._1 - sc0._1, sc1._2 - sc0._2, sc1._3 - sc0._3,
+          (sc1._4 - sc0._4) / 1e3, (sc1._5 - sc0._5) / 1e9, newFail)
+        val th1 = threadCpuByClass()
+        threadQ(name) = (th0.keySet ++ th1.keySet).map { k =>
+          k -> math.max(0L,
+            th1.getOrElse(k, 0L) - th0.getOrElse(k, 0L)) / 100.0
+        }.toMap
       }
       System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
         (if (errors.contains(name)) s"  ERROR ${errors(name)}" else ""))
@@ -294,8 +410,23 @@ object Bench {
           s"[${jstr(s.tag)},${f"${s.wallS}%.3f"},${f"${s.cpuS}%.3f"}]")
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    // scheduler evidence: {"q":[tasks,failed,stage_reattempts,
+    // exec_run_s,exec_cpu_s,"first failure reason"]} — nonzero failed/
+    // reattempts means work was RECOMPUTED (retry storm)
+    val schedJs = schedQ.toSeq.sortBy(_._1)
+      .map { case (q, (t, f, r, run, cpu, why)) =>
+        jstr(q) + s""":[$t,$f,$r,${f"$run%.2f"},${f"$cpu%.2f"},${jstr(why)}]"""
+      }.mkString("{", ",", "}")
+    // native-thread CPU: {"q":{"gc":s,"jit":s,"exec":s,"other":s}} —
+    // concurrent-GC/JIT burn the MXBeans can't attribute
+    val threadJs = threadQ.toSeq.sortBy(_._1)
+      .map { case (q, m) =>
+        jstr(q) + ":" + m.toSeq.sortBy(_._1)
+          .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuQs,"stages":$stageQs,"env":$env,"errors":$errs,"dumped":$dmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuQs,"stages":$stageQs,"sched":$schedJs,"threads":$threadJs,"env":$env,"errors":$errs,"dumped":$dmp,"sf":"$sfDir"}"""
     // Parse-proof shutdown (BENCH_r07 was `parsed: null`: a StateStore
     // maintenance WARN printed AFTER the summary line, so the driver
     // could not parse its tail). Order matters: silence log4j, stop

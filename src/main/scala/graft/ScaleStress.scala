@@ -161,10 +161,14 @@ object ScaleStress {
       repl("orders", Seq("o_orderkey"))
       repl("lineitem", Seq("l_orderkey"))
     }
-    // r12: distinct-regime dirs are now COMPLETE (every table, not just
-    // documents) — Bench/streams can run on them without symlinking the
-    // flood dir's tables in. Only the documents table differs between
-    // regimes (exact ×R copies vs per-replica salted text).
+    // r12: in the builddistinct/streams modes (docsOnly=false) the
+    // distinct-regime dirs are COMPLETE (every table, not just
+    // documents) — Bench/streams can run on them without symlinking
+    // the flood dir's tables in. Only the documents table differs
+    // between regimes (exact ×R copies vs per-replica salted text).
+    // NOTE the `distinct` mode itself runs docsOnly=true: its dirs
+    // skip orders/lineitem/embeddings/events and can NOT back a
+    // Bench/streams run.
     if (distinctDocs) buildDistinctDocs(spark, srcDir, outDir, rep)
     else repl("documents", Seq("doc_id"))
     if (!docsOnly) {
@@ -272,6 +276,84 @@ object ScaleStress {
     *    min-doc-ids, so they shift with the replica offset) within a
     *    0.5% deviation bound — label rows inherit the pair draws.
     */
+  /** R-fold pair invariance for the distinct regime (factored r14 so
+    * the focused `distinct37` probe reuses it). Exactness split along
+    * what the engine guarantees:
+    *  - EXACT pairs (J = 1.0): recall is DETERMINISTIC (the
+    *    exact-signature blocking key) — must appear in all R
+    *    replicas, no extras, no exceptions.
+    *  - NEAR pairs (J < 1): LSH banding recall is probabilistic per
+    *    hash draw, and each replica's salt re-rolls every shingle
+    *    hash — a borderline-J base pair can miss in a few of R draws
+    *    (measured at ×128: ONE base pair absent from 2/128 replicas,
+    *    deviation 0.006%; deterministic, same draws every run).
+    *    Asserted ≤ 0.1% of R×base pair instances — 16× headroom over
+    *    the measured rate, while any systematic regression (a cap
+    *    drop, a key-space bug) is orders of magnitude larger (r7's
+    *    flood collapse was 100%).
+    */
+  private def pairInvarianceAt(rep: Int)(name: String, base: DataFrame,
+      scaled: DataFrame, secs: Double): Long = {
+    val replica = (c: String) => expr(s"$c DIV $Base")
+    val baseId = (c: String) => pmod(col(c), lit(Base))
+    val crossed = scaled.filter(replica("a") =!= replica("b")).count()
+    val projected = scaled
+      .select(baseId("a").as("a"), baseId("b").as("b"), col("jaccard"))
+      .groupBy("a", "b", "jaccard").agg(count(lit(1)).as("n"))
+    val joined = projected.join(
+      base.select(col("a"), col("b"), col("jaccard"), lit(1L).as("w")),
+      Seq("a", "b", "jaccard"), "full_outer")
+      .select(col("a"), col("b"), col("jaccard"),
+        coalesce(col("n"), lit(0L)).as("found"),
+        when(col("w").isNotNull, rep.toLong).otherwise(0L).as("want"))
+      .withColumn("dev", abs(col("found") - col("want")))
+    val exactBad = joined
+      .filter(col("jaccard") === 1.0 && col("dev") =!= 0L).count()
+    val nearDev = joined.filter(col("jaccard") < 1.0)
+      .agg(coalesce(sum(col("dev")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val total = scaled.count()
+    val nBase = base.count()
+    println(f"[stress] $name distinct ×$rep: $total%,d pairs " +
+      f"(base $nBase%,d × $rep) in $secs%.1f s; cross-replica " +
+      f"$crossed, exact-pair violations $exactBad, near-pair " +
+      f"deviation $nearDev/${rep * nBase}%,d instances")
+    joined.filter(col("dev") =!= 0L).limit(5).collect().foreach(r =>
+      println(s"[stress]   deviating pair: $r"))
+    assert(crossed == 0L, s"$name emitted $crossed cross-replica pairs " +
+      "(disjoint shingle spaces make any such pair impossible)")
+    assert(exactBad == 0L,
+      s"$name ×$rep lost/invented exact-dup pairs ($exactBad rows)")
+    assert(nearDev <= math.max(4L, rep * nBase / 1000L),
+      s"$name ×$rep near-pair deviation $nearDev exceeds 0.1% — " +
+        "systematic recall regression, not LSH draw noise")
+    total
+  }
+
+  /** Focused q37 probe for the ×4096 scratch ceiling (r14, VERDICT
+    * r13 #4): docs-only distinct dir + the q37 invariance leg ALONE,
+    * so the sliced-verify envelope can be measured without paying the
+    * full family's multi-hour wall. Slice count comes from
+    * SPARK_GRAFT_VERIFY_SLICES (set on the session in main).
+    */
+  private def runDistinct37(spark: SparkSession, srcDir: String,
+      rep: Int): Unit = {
+    val outDir = s"target/stress_distinct_x$rep"
+    val tB = System.nanoTime()
+    buildDir(spark, srcDir, outDir, rep, distinctDocs = true, docsOnly = true)
+    println(f"[stress] built distinct $outDir in ${
+      (System.nanoTime() - tB) / 1e9}%.1f s")
+    releasingExcept(spark)(Set.empty) {
+      val baseQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, srcDir)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val xQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, outDir)
+        .localCheckpoint()
+      pairInvarianceAt(rep)("q37", baseQ37, xQ37,
+        (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   private def runDistinct(spark: SparkSession, srcDir: String,
       rep: Int): Unit = {
     import graft.queries.DedupQueries
@@ -289,55 +371,9 @@ object ScaleStress {
     val replica = (c: String) => expr(s"$c DIV $Base")
     val baseId = (c: String) => pmod(col(c), lit(Base))
 
-    // ---- q35 / q37: R-fold invariance, zero cross-replica ----
-    // Exactness is split along what the engine actually guarantees:
-    //  - EXACT pairs (J = 1.0): recall is DETERMINISTIC (the
-    //    exact-signature blocking key) — must appear in all R
-    //    replicas, no extras, no exceptions.
-    //  - NEAR pairs (J < 1): LSH banding recall is probabilistic per
-    //    hash draw, and each replica's salt re-rolls every shingle
-    //    hash — a borderline-J base pair can miss in a few of R
-    //    draws (measured at ×128: ONE base pair absent from 2/128
-    //    replicas, deviation 0.006%; deterministic, same draws every
-    //    run). Asserted ≤ 0.1% of R×base pair instances — 16×
-    //    headroom over the measured rate, while any systematic
-    //    regression (a cap drop, a key-space bug) is orders of
-    //    magnitude larger (r7's flood collapse was 100%).
     def pairInvariance(name: String, base: DataFrame, scaled: DataFrame,
-        secs: Double): Long = {
-      val crossed = scaled.filter(replica("a") =!= replica("b")).count()
-      val projected = scaled
-        .select(baseId("a").as("a"), baseId("b").as("b"), col("jaccard"))
-        .groupBy("a", "b", "jaccard").agg(count(lit(1)).as("n"))
-      val joined = projected.join(
-        base.select(col("a"), col("b"), col("jaccard"), lit(1L).as("w")),
-        Seq("a", "b", "jaccard"), "full_outer")
-        .select(col("a"), col("b"), col("jaccard"),
-          coalesce(col("n"), lit(0L)).as("found"),
-          when(col("w").isNotNull, rep.toLong).otherwise(0L).as("want"))
-        .withColumn("dev", abs(col("found") - col("want")))
-      val exactBad = joined
-        .filter(col("jaccard") === 1.0 && col("dev") =!= 0L).count()
-      val nearDev = joined.filter(col("jaccard") < 1.0)
-        .agg(coalesce(sum(col("dev")), lit(0L)).cast("long"))
-        .collect()(0).getLong(0)
-      val total = scaled.count()
-      val nBase = base.count()
-      println(f"[stress] $name distinct ×$rep: $total%,d pairs " +
-        f"(base $nBase%,d × $rep) in $secs%.1f s; cross-replica " +
-        f"$crossed, exact-pair violations $exactBad, near-pair " +
-        f"deviation $nearDev/${rep * nBase}%,d instances")
-      joined.filter(col("dev") =!= 0L).limit(5).collect().foreach(r =>
-        println(s"[stress]   deviating pair: $r"))
-      assert(crossed == 0L, s"$name emitted $crossed cross-replica pairs " +
-        "(disjoint shingle spaces make any such pair impossible)")
-      assert(exactBad == 0L,
-        s"$name ×$rep lost/invented exact-dup pairs ($exactBad rows)")
-      assert(nearDev <= math.max(4L, rep * nBase / 1000L),
-        s"$name ×$rep near-pair deviation $nearDev exceeds 0.1% — " +
-          "systematic recall regression, not LSH draw noise")
-      total
-    }
+        secs: Double): Long =
+      pairInvarianceAt(rep)(name, base, scaled, secs)
     // Sections that build corpus-sized pipeline intermediates release
     // them on exit (cf. the flood path's releasingExcept; at ×128 the
     // resident bucket/fetch checkpoints of three families squeezed the
@@ -546,7 +582,11 @@ object ScaleStress {
     // 0.5% bound, not zero.
     val (x137, s137) = timed {
       DedupQueries.incrementalApplyWith(
-        DedupQueries.incrementalIndex(spark, outDir), outDir)
+        DedupQueries.incrementalIndex(spark, outDir), outDir,
+        // the production q137 shape (r14): the apply step consumes the
+        // pair table the q136 leg above just materialized — s137 times
+        // the APPLY alone, not a second pair-pipeline run
+        pairsOverride = Some(xIncr))
         .select("doc_id").localCheckpoint() }
     val fullKeptNew = SparkEntry.queries("q111_dedup_apply")(spark, outDir)
       .filter(col("doc_id") >= split136).select("doc_id").localCheckpoint()
@@ -608,8 +648,19 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Verify-slice knob for the ×4096 q37 probe (propagates into the
+    // dedup child sessions like the other spark.graft.dedup.* keys)
+    sys.env.get("SPARK_GRAFT_VERIFY_SLICES").foreach(v =>
+      spark.conf.set(graft.queries.DedupQueries.VerifySlicesKey, v))
+
     if (mode == "distinct") {
       runDistinct(spark, srcDir, rep)
+      spark.stop()
+      return
+    }
+
+    if (mode == "distinct37") {
+      runDistinct37(spark, srcDir, rep)
       spark.stop()
       return
     }

@@ -284,16 +284,65 @@ object DedupQueries {
     * the old hold-to-section-end behavior — a diagnostic hook (the
     * width spec reads the bucket exchange's partition count off the
     * surviving checkpoint; a debugging session may want the
-    * intermediates inspectable).
+    * intermediates inspectable). [[dedupSession]] propagates the key,
+    * so setting it on the caller's session reaches the production
+    * pipelines (r14, ADVICE: it used to be read only off the child).
+    *
+    * Guarded (r14, ADVICE): the passed frame must BE a direct
+    * checkpoint — a single [[LogicalRDD]] plan. A derived/joined
+    * frame would make the old leaf-foreach free every reachable
+    * checkpoint, including live ones other pipelines still need
+    * (irrecoverable corruption); misuse now fails loudly instead.
     */
+  private[graft] val ReleaseBucketsKey = "spark.graft.dedup.releaseBuckets"
+
+  /** Verify-stage slicing (r14, the measured ×4096 blocker): q37's
+    * candidate verify — fetch join + attach joins + distinct — runs
+    * ~108 GB of TRANSIENT shuffle scratch at ×4096 distinct against
+    * ~80 GB free disk, all live at once because the verify is one
+    * job. With k > 1 the candidate pair set is processed in k
+    * hash-disjoint slices of `a`: each slice's verify materializes to
+    * an output-sized checkpoint, then the slice's intermediate
+    * checkpoints are released (blocking) and a GC pass lets the
+    * ContextCleaner drop the slice's now-unreachable shuffle files —
+    * peak scratch ≈ 1/k of the unsliced job. Semantics unchanged:
+    * slices partition the pair set exactly (hash of the `a` id), and
+    * every pair's verify is independent. Cost: the per-slice feature
+    * fetch re-prunes the corpus per slice, so a doc paired across
+    * slices is fetched up to k times — candidate-bounded either way.
+    * Default 1 (unsliced); the scale harness sets it for the ×4096
+    * probe, a deployment sizes it like shuffle partitions.
+    */
+  private[graft] val VerifySlicesKey = "spark.graft.dedup.verifySlices"
+
+  private def verifySlices(s: SparkSession): Int =
+    s.conf.getOption(VerifySlicesKey)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+
+  /** Test hook: (rddId, numPartitions) of every checkpoint freed by
+    * [[releaseCheckpoint]]. The release pin used to be a NEGATIVE
+    * registry assertion (width absent after the call) — vacuously
+    * green under the ContextCleaner GC race and spuriously red on a
+    * partition-count collision (ADVICE r13). Specs drain this queue
+    * and assert the specific released id instead. Bounded: only specs
+    * drain it, and entries are two ints per release (a handful per
+    * pipeline run).
+    */
+  private[graft] val releasedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     if (df.sparkSession.conf
-        .getOption("spark.graft.dedup.releaseBuckets")
+        .getOption(ReleaseBucketsKey)
         .forall(_.trim.equalsIgnoreCase("true")))
-      df.queryExecution.analyzed.foreach {
+      df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          releasedCheckpoints.add((lr.rdd.id, lr.rdd.getNumPartitions))
           lr.rdd.unpersist(false)
-        case _ =>
+        case other => throw new IllegalArgumentException(
+          "releaseCheckpoint expects a direct localCheckpoint frame " +
+            s"(a single LogicalRDD plan); got ${other.nodeName} — a " +
+            "derived frame could free unrelated live checkpoints")
       }
 
   /** Child session scoped to one dedup pipeline, with AQE off.
@@ -336,6 +385,10 @@ object DedupQueries {
       .foreach(s2.conf.set(BucketScanBytesKey, _))
     s.conf.getOption(Level3MaxRowsKey)
       .foreach(s2.conf.set(Level3MaxRowsKey, _))
+    s.conf.getOption(ReleaseBucketsKey)
+      .foreach(s2.conf.set(ReleaseBucketsKey, _))
+    s.conf.getOption(VerifySlicesKey)
+      .foreach(s2.conf.set(VerifySlicesKey, _))
     s2
   }
 
@@ -885,9 +938,15 @@ object DedupQueries {
   private val incrIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, ((Long, Long), IncrIndex)]
 
-  /** Evict `dir`'s memoized standing index (see [[incrIndexCache]]). */
-  private[graft] def invalidateIncrementalIndex(dir: String): Unit =
+  /** Evict `dir`'s memoized standing index AND its memoized pair
+    * table (see [[incrIndexCache]], [[incrPairsCache]] — a harness
+    * that releases checkpoint blocks must drop both, or a later
+    * query reads freed blocks).
+    */
+  private[graft] def invalidateIncrementalIndex(dir: String): Unit = {
     incrIndexCache.remove(dir)
+    incrPairsCache.remove(dir)
+  }
 
   private def corpusFingerprint(s: SparkSession, dir: String): (Long, Long) = {
     val r = Tables.documents(s, dir)
@@ -903,7 +962,9 @@ object DedupQueries {
     val s = dedupSession(s0)
     val fp = corpusFingerprint(s, dir)
     incrIndexCache.get(dir) match {
-      case Some((`fp`, idx)) => idx
+      case Some((`fp`, idx)) =>
+        graft.RoundStats.record("incr_index_memo_hit", 0, 0)
+        idx
       case _ =>
         val idx = indexFor(s0, dir, fp._2 * 4L / 5L)
         incrIndexCache.put(dir, (fp, idx))
@@ -1040,12 +1101,38 @@ object DedupQueries {
     IncrIndex(newSplit, merged, reblockOf(merged, indexParts), mergedExact)
   }
 
+  /** Memoized [[incrementalPairs]] result per dir — the r13 bench
+    * showed q137 cold-recomputing the ENTIRE pair pipeline q136 just
+    * materialized (incr_probe_keys/incr_cands/minhash_* in both
+    * queries' stage lists): the pair table is the natural shared
+    * artifact of the daily job (the same cold/warm contract as
+    * [[pairCache]] for q35 and [[incrIndexCache]] for the index — a
+    * deployment writes it out once per increment and both the report
+    * and the apply read it). Fingerprint-guarded like the index;
+    * [[invalidateIncrementalIndex]] evicts it.
+    */
+  private val incrPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, ((Long, Long), DataFrame)]
+
   /** q136's pair pipeline: every near-dup pair (J ≥ 0.5, 2-shingles)
     * touching the increment (doc_id ≥ split), without recomputing any
     * base-vs-base pair. See the q136 scaladoc above for the design.
+    * Memoized per dir (fingerprint-guarded) so q137's apply step
+    * reuses the table q136 built instead of re-running the pipeline.
     */
-  private[graft] def incrementalPairs(s0: SparkSession, dir: String): DataFrame =
-    incrementalPairsWith(incrementalIndex(s0, dir), dir)
+  private[graft] def incrementalPairs(s0: SparkSession, dir: String): DataFrame = {
+    val s = dedupSession(s0)
+    val fp = corpusFingerprint(s, dir)
+    incrPairsCache.get(dir) match {
+      case Some((`fp`, df)) =>
+        graft.RoundStats.record("incr_pairs_memo_hit", 0, 0)
+        df
+      case _ =>
+        val df = incrementalPairsWith(incrementalIndex(s0, dir), dir)
+        incrPairsCache.put(dir, (fp, df))
+        df
+    }
+  }
 
   /** [[incrementalPairs]] against an EXPLICIT index instance and an
     * optional shard upper bound — the day-by-day surface: the shard
@@ -1174,7 +1261,8 @@ object DedupQueries {
     * corpus is only ever probed, never re-paired.
     */
   private[graft] def incrementalApplyWith(idx: IncrIndex, dir: String,
-      until: Long = Long.MaxValue): DataFrame = {
+      until: Long = Long.MaxValue,
+      pairsOverride: Option[DataFrame] = None): DataFrame = {
     val s = idx.buckets.sparkSession
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
@@ -1192,8 +1280,18 @@ object DedupQueries {
       .withColumn("eh2", xxhash64(lit("ex2"), col("text")))
       .join(idx.exactKeys.hint("shuffle_hash"), Seq("eh1", "eh2"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
-    // near rule: pair-sized checkpoint feeds three consumers
-    val pairs = bigCheckpoint(incrementalPairsWith(idx, dir, until))
+    // near rule: pair-sized leaf table feeds three consumers.
+    // `pairsOverride` is the memoized q136 table (q137's entry path —
+    // the r13 bench showed the full pipeline re-running here); the
+    // default keeps the explicit-index day-by-day surface. Either way
+    // finalStage already lineage-cut it to a LogicalRDD leaf — only
+    // re-checkpoint when the audit harness skipped that cut (a second
+    // bigCheckpoint of a leaf just copies the blocks).
+    val pairs0 = pairsOverride.getOrElse(incrementalPairsWith(idx, dir, until))
+    val pairs =
+      if (pairs0.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) pairs0
+      else bigCheckpoint(pairs0)
     val vsBase = pairs.filter(col("vs_base"))
       .select(col("b").as("id")).distinct()
     val nn = pairs.filter(!col("vs_base")).select(col("a"), col("b"))
@@ -1825,11 +1923,38 @@ object DedupQueries {
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val toVerify = pairs.filter(!col("exact") && col("plausible"))
       .select(col("a"), col("b"))
-    val verified = attachFeaturesBy(toVerify,
-      ids => hashedFeatures(gram3Of(raw.join(ids, "doc_id")), "grams"),
-      "doc_id", "hsh", tag = "gram")
-      .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+    def verifySliceOf(cands: DataFrame, tag: String): DataFrame =
+      attachFeaturesBy(cands,
+        ids => hashedFeatures(gram3Of(raw.join(ids, "doc_id")), "grams"),
+        "doc_id", "hsh", tag = tag)
+        .select(col("a"), col("b"),
+          jaccard(col("f_a"), col("f_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    val k = verifySlices(raw.sparkSession)
+    val verified =
+      if (k == 1) verifySliceOf(toVerify, "gram")
+      else {
+        // sliced verify (see VerifySlicesKey): bound the transient
+        // scratch at ~1/k by materializing one hash-disjoint slice at
+        // a time and releasing its intermediates before the next
+        val sc = raw.sparkSession.sparkContext
+        (0 until k).map { i =>
+          val before = sc.getPersistentRDDs.keySet
+          val out = bigCheckpoint(verifySliceOf(
+            toVerify.filter(
+              pmod(xxhash64(lit("slice"), col("a")), lit(k.toLong)) === i),
+            s"gram_s$i"))
+          val keep = out.queryExecution.analyzed match {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+            case _ => -1
+          }
+          sc.getPersistentRDDs
+            .filter { case (id, _) => !before(id) && id != keep }
+            .values.foreach(_.unpersist(blocking = true))
+          System.gc() // ContextCleaner drops the slice's shuffle files
+          out
+        }.reduce(_ union _)
+      }
     // The exact-Jaccard verify join is the pipeline's last (and, on a
     // near-dup-rich corpus, largest) compute — materialize it as its
     // own stage so the bench attributes it instead of folding it into

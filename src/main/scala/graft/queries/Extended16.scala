@@ -118,7 +118,11 @@ object Extended16 {
     */
   private def q137(s: SparkSession, dir: String): DataFrame =
     DedupQueries.incrementalApplyWith(
-      DedupQueries.incrementalIndex(s, dir), dir).orderBy("doc_id")
+      DedupQueries.incrementalIndex(s, dir), dir,
+      // share q136's memoized pair table — a cold q137 used to re-run
+      // the whole incremental pair pipeline (r13 bench stage lists)
+      pairsOverride = Some(DedupQueries.incrementalPairs(s, dir)))
+      .orderBy("doc_id")
 
   private val q137Sql =
     s"""WITH RECURSIVE sp AS (SELECT MAX(doc_id) * 4 // 5 AS v FROM documents),

@@ -903,7 +903,7 @@ object StreamingQueries {
     * stream-static join. Returns the UN-drained streaming frame
     * (a, b, jaccard) with a < b; callers pick the sink shape.
     */
-  private def streamNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def streamNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -911,18 +911,27 @@ object StreamingQueries {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
+    // Test/diagnostic knob: cap files per micro-batch so a multi-file
+    // corpus drains in MULTIPLE batches (the per-batch-recompute
+    // regression surface the 1-batch gates can't see).
+    val maxFiles = s.conf
+      .getOption("spark.graft.stream.maxFilesPerTrigger")
+      .flatMap(_.toIntOption).filter(_ > 0)
     // The documents table ships BOTH ways: the driver's testdata dirs
     // hold a single FILE `documents.parquet` (a file source needs a
     // directory + glob), while Spark-written dirs (ScaleStress's
     // stress corpora) hold a DIRECTORY of part files the glob would
     // silently exclude — the ×512 streams probe read 0 rows that way.
     val docRoot = new java.io.File(s"$dir/documents.parquet")
+    val docReader = {
+      val r = s.readStream.schema(docSchema)
+      maxFiles.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+    }
     val docSource =
       if (docRoot.isDirectory)
-        s.readStream.schema(docSchema).parquet(docRoot.getPath)
+        docReader.parquet(docRoot.getPath)
       else
-        s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        docReader.option("pathGlobFilter", "documents.parquet").parquet(dir)
     val docsStream = docSource.select(col("doc_id"), col("text"))
     val keyed = graft.queries.DedupQueries.streamKeyedMembers(docsStream)
       .as[KeyedMember]
@@ -972,8 +981,19 @@ object StreamingQueries {
           state.update(mem)
           out.result().iterator
       }
+    // Materialized ONCE per query start (r14, VERDICT r13 #3): the
+    // stream-static verify side used to re-run the full corpus
+    // shingle+hash pass EVERY micro-batch — invisible in the 1-batch
+    // gates, a corpus scan per batch in the real Kafka regime. The
+    // eager localCheckpoint cuts it to a leaf the per-batch planner
+    // just scans; SER level packs/evicts cleanly at corpus scale (the
+    // deserialized-unroll OOM class is documented on
+    // DedupQueries.bigCheckpoint — this is the written feature table
+    // a deployment would keep next to the standing index).
     val feats = graft.queries.DedupQueries.hashedFeaturesOf(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     candidates.toDF()
       .join(feats.select(col("doc_id").as("a"), col("hsh").as("f_a")), "a")
       .join(feats.select(col("doc_id").as("b"), col("hsh").as("f_b")), "b")

@@ -484,20 +484,30 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2))
     assert(newWidths.contains(expected),
       s"no checkpoint ran at the stat-driven width $expected: $newWidths")
-    // r13 release pin: with the knob at its default (release ON), the
-    // stat-width bucket checkpoint must NOT survive the call — its
-    // blocks are freed the moment the pair-expansion checkpoint
-    // materializes (the ×2048 scratch-peak fix)
+    // r13 release pin, r14 form (ADVICE: the old negative registry
+    // assertion passed vacuously under the ContextCleaner GC race and
+    // would spuriously fail on a partition-count collision): the
+    // release hook records (rddId, width) for every freed checkpoint —
+    // assert the DIRECT evidence: a checkpoint at the stat-driven
+    // width was released, and that specific id is gone from the
+    // persistent-RDD registry.
     sTiny.conf.unset("spark.graft.dedup.releaseBuckets")
-    val beforeRel = spark.sparkContext.getPersistentRDDs.keySet
+    DedupQueries.releasedCheckpoints.clear()
     DedupQueries.minHashPairs(
       sTiny.createDataFrame(docs).toDF("doc_id", "text"))
-    val survivingWidths = spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !beforeRel(id) }
-      .values.map(_.getNumPartitions).toSet
-    assert(!survivingWidths.contains(expected),
-      s"bucket checkpoint (width $expected) survived the in-pipeline " +
-        s"release: $survivingWidths")
+    val released = {
+      import scala.jdk.CollectionConverters._
+      DedupQueries.releasedCheckpoints.asScala.toList
+    }
+    val atWidth = released.filter(_._2 == expected)
+    assert(atWidth.nonEmpty,
+      s"no checkpoint at the stat-driven width $expected was released " +
+        s"(released: $released)")
+    val registry = spark.sparkContext.getPersistentRDDs.keySet
+    atWidth.foreach { case (id, _) =>
+      assert(!registry(id),
+        s"released checkpoint rdd_$id still in the persistent registry")
+    }
     // (b1) a localCheckpoint PRESERVES its origin plan's stats (Spark 4
     // LogicalRDD.fromDataset carries them), so a checkpointed corpus
     // still sizes past the session width — the mechanism survives the
@@ -616,6 +626,62 @@ class DedupSpec extends AnyFunSuite {
       s"escalation fired below the default threshold: $lvPlain")
     assert(escalated === plain)
     assert(pinned === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("releaseBuckets knob reaches the production pipeline through dedupSession") {
+    // ADVICE r13 (medium): the knob used to be read only off the CHILD
+    // session, so a caller-session conf.set was silently ignored by
+    // the q35/q37 production pipelines (dedupSession did not propagate
+    // it). This drives the real entry — nearDupPairs → dedupSession →
+    // minHashPairs — both ways, using the release hook as evidence.
+    import graft.queries.DedupQueries
+    import scala.jdk.CollectionConverters._
+    val docs = ((0 until 48).map(i => (i.toLong, s"alpha beta gamma delta u$i")) ++
+      (0 until 16).map(i => (100L + i, "alpha beta gamma delta epsilon")))
+    def corpusDir(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_knob_$tag")
+      spark.createDataFrame(docs).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d.toString
+    }
+    // knob=false on the CALLER's session must suppress the in-pipeline
+    // release inside the child dedup session
+    val dirOff = corpusDir("off")
+    spark.conf.set(DedupQueries.ReleaseBucketsKey, "false")
+    try {
+      DedupQueries.releasedCheckpoints.clear()
+      assert(DedupQueries.nearDupPairs(spark, dirOff).count() > 0)
+      assert(DedupQueries.releasedCheckpoints.isEmpty,
+        "releaseBuckets=false on the caller session did not reach the " +
+          s"dedup child session: ${DedupQueries.releasedCheckpoints.asScala}")
+    } finally spark.conf.unset(DedupQueries.ReleaseBucketsKey)
+    // default (unset) releases — fresh dir so the pair memo can't
+    // short-circuit the pipeline
+    val dirOn = corpusDir("on")
+    DedupQueries.releasedCheckpoints.clear()
+    assert(DedupQueries.nearDupPairs(spark, dirOn).count() > 0)
+    assert(!DedupQueries.releasedCheckpoints.isEmpty,
+      "default-on release did not fire through the production pipeline")
+  }
+
+  test("q37 sliced verify (verifySlices=4) is value-identical to unsliced") {
+    // r14 (VERDICT r13 #4): the ×4096 scratch bound comes from
+    // processing the candidate verify in hash-disjoint slices — the
+    // slicing must be value-invisible (slices partition the pair set
+    // exactly; releases touch only slice-internal intermediates).
+    import graft.queries.DedupQueries
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val plain = rows(SparkEntry.queries("q37_ngram_jaccard")(spark, sf))
+    spark.conf.set(DedupQueries.VerifySlicesKey, "4")
+    val sliced = try
+      rows(SparkEntry.queries("q37_ngram_jaccard")(spark, sf))
+    finally spark.conf.unset(DedupQueries.VerifySlicesKey)
+    assert(sliced === plain,
+      s"slicing changed the pair set: only-sliced ${sliced -- plain}, " +
+        s"only-plain ${plain -- sliced}")
     assert(plain.nonEmpty)
   }
 

@@ -134,4 +134,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!(c eq a), "invalidate must evict the cached instance")
     assert(pairRows(DedupQueries.incrementalPairs(spark, sf)) === before)
   }
+
+  /** r14 (VERDICT r13 #2): the pair-pipeline recompute pin. A cold
+    * q136 materializes the pipeline ONCE per corpus; the warm path —
+    * q136 rerun or q137's apply — must reuse the memoized table and
+    * run ZERO pipeline stages (the r13 bench showed q137 cold-re-
+    * running incr_probe_keys/incr_cands/minhash_* q136 had just
+    * built, roughly doubling the family's bench cost). Evidence is
+    * RoundStats: pipeline tags on the cold call, none on the warm
+    * ones; the q137 entry's stage list shows only apply-side tags.
+    */
+  test("incremental pairs memo: warm q136/q137 run zero pipeline stages") {
+    DedupQueries.invalidateIncrementalIndex(sf)
+    RoundStats.drain()
+    val cold = DedupQueries.incrementalPairs(spark, sf)
+    val coldTags = RoundStats.drain().map(_.tag).toSet
+    assert(coldTags.contains("incr_probe_keys") &&
+      coldTags.contains("minhash_expand"),
+      s"cold build must run the pipeline (saw $coldTags)")
+    val warm = DedupQueries.incrementalPairs(spark, sf)
+    assert(warm eq cold, "same fingerprint must reuse the pair table")
+    val warmTags = RoundStats.drain().map(_.tag).toSet
+    assert(warmTags === Set("incr_pairs_memo_hit"),
+      s"warm q136 re-ran pipeline stages: ${warmTags - "incr_pairs_memo_hit"}")
+    // the q137 ENTRY (memoized-pairs path): only apply-side stages
+    SparkEntry.queries("q137_dedup_incr_apply")(spark, sf).count()
+    val applyTags = RoundStats.drain().map(_.tag).toSet
+    val pipelineTags = applyTags.filter(t =>
+      t.startsWith("incr_probe") || t.startsWith("incr_cands") ||
+        t.startsWith("minhash_") || t.startsWith("incr_index"))
+    assert(pipelineTags.isEmpty ||
+      pipelineTags === Set("incr_index_memo_hit"),
+      s"q137 re-ran pair-pipeline stages: $pipelineTags")
+    assert(applyTags.contains("incr_apply_final"))
+  }
 }
