@@ -196,8 +196,36 @@ object StreamingQueries {
     */
   private[graft] def resetStateRows(): Unit = lastStateRowsByOp = Seq.empty
 
+  /** Estimated rows micro-batch 1 will ingest from `dir`'s events
+    * table — the SIXTH envelope class's trigger (r14, found by the
+    * ×1024 streams probe): a replay harness feeds the whole scaled
+    * corpus as ONE file ⇒ one micro-batch ⇒ the watermark never
+    * advances INSIDE it, so a stream-stream join / watermark-held
+    * operator buffers the ENTIRE input in its state store during
+    * batch 1 — corpus-sized peak state even though the ACROSS-batch
+    * law says watermark-bounded. Measured: 51.2 M rows (×512) drained
+    * in-heap on the 8 g JVM; 102.4 M (×1024) GC-thrashed until the
+    * executor heartbeat expired (exit 56) with ZERO OOM thrown.
+    * Parquet row count is metadata-only — one footer read.
+    */
+  private[graft] def eventsRowCount(s: SparkSession, dir: String): Long =
+    scala.util.Try(
+      s.read.parquet(s"$dir/events.parquet").count()).getOrElse(0L)
+
+  /** In-heap intra-batch ingest ceiling (rows) before the state store
+    * must spill: default 6e7 sits between the measured 51.2 M survive
+    * and 102.4 M die points on the default 8 g heap. A cluster —
+    * whose per-executor share of one batch is ingest/executors —
+    * raises it; a real Kafka feed (many small micro-batches, the
+    * watermark advancing between them) never approaches it.
+    */
+  private def heapIngestMaxRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.stream.heapIngestMaxRows")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(60000000L)
+
   private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
-      mode: OutputMode, corpusLinearState: Boolean = false): DataFrame = {
+      mode: OutputMode, corpusLinearState: Boolean = false,
+      ingestRows: Long = 0L): DataFrame = {
     val useFile = sinkMode == "file"
     val name = s"${prefix}_${System.nanoTime()}"
     val fileBase = s"target/stream_sink/$name"
@@ -237,9 +265,15 @@ object StreamingQueries {
     // fixed into the query's fresh checkpoint at start, restored
     // after; gate-scale memory-sink runs keep the in-heap provider's
     // lower per-query setup cost.
+    // r14 second trigger (the ×1024 streams probe's sixth envelope
+    // class — see eventsRowCount): even a watermark-bounded query
+    // must spill when ONE micro-batch ingests more rows than the
+    // heap can buffer as intra-batch state.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = s.conf.getOption(provKey)
-    if (useFile && corpusLinearState)
+    val needRocks = corpusLinearState ||
+      (ingestRows > heapIngestMaxRows(s))
+    if (useFile && needRocks)
       s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
     val q = graft.RoundStats.timed(s"${prefix}_start") {
@@ -284,7 +318,7 @@ object StreamingQueries {
               "(Update emits deltas; a full-state snapshot would be wrong)")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
-        if (useFile && corpusLinearState) prevProv match {
+        if (useFile && needRocks) prevProv match {
           case Some(p) => s.conf.set(provKey, p)
           case None    => s.conf.unset(provKey)
         }
@@ -672,7 +706,8 @@ object StreamingQueries {
     val joined = clickPurchaseJoin(s, dir, "inner")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
-    runToSnapshot(s, joined, "q57_sink", OutputMode.Append)
+    runToSnapshot(s, joined, "q57_sink", OutputMode.Append,
+      ingestRows = eventsRowCount(s, dir))
       .orderBy("click_id", "purchase_id")
   }
 
@@ -693,7 +728,8 @@ object StreamingQueries {
     val joined = clickPurchaseJoin(s, dir, "left_outer")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
-    runToSnapshot(s, joined, "q98_sink", OutputMode.Append)
+    runToSnapshot(s, joined, "q98_sink", OutputMode.Append,
+      ingestRows = eventsRowCount(s, dir))
       .orderBy("click_id", "purchase_id")
   }
 
@@ -715,7 +751,8 @@ object StreamingQueries {
         col("p_user_id"), col("click_ts"), col("purchase_ts"))
     // click_id IS null here (unmatched purchases) — pin null ordering
     // explicitly; Spark defaults NULLS FIRST, DuckDB NULLS LAST.
-    runToSnapshot(s, joined, "q125_sink", OutputMode.Append)
+    runToSnapshot(s, joined, "q125_sink", OutputMode.Append,
+      ingestRows = eventsRowCount(s, dir))
       .orderBy(col("click_id").asc_nulls_last,
         col("purchase_id").asc_nulls_last)
   }
@@ -837,7 +874,8 @@ object StreamingQueries {
     */
   def q129(s: SparkSession, dir: String): DataFrame = {
     val out = rangeStateTransformHeld(s, eventsStream(s, dir))
-    runToSnapshot(s, out, "q129_sink", OutputMode.Append)
+    runToSnapshot(s, out, "q129_sink", OutputMode.Append,
+      ingestRows = eventsRowCount(s, dir))
       .select(col("event_id"), col("province_id"),
         timestamp_micros(col("ts_us")).as("ts"), col("pay_amount"))
       .orderBy("event_id")
