@@ -57,7 +57,7 @@ object Bench {
     * CPU matches a clean run but steal jumped means the HOST took the
     * cycles — not a plan or code regression. None off-Linux.
     */
-  private def procStat(): Option[(Long, Long, Long, Long)] =
+  private[graft] def procStat(): Option[(Long, Long, Long, Long)] =
     scala.util.Try {
       val f = scala.io.Source.fromFile("/proc/stat")
       try {
@@ -78,21 +78,29 @@ object Bench {
     * — see [[threadCpuByClass]]); task-CPU itself inflated ⇒ the
     * stage genuinely did more work per task.
     */
-  private final class SchedCounters
+  private[graft] final class SchedCounters
       extends org.apache.spark.scheduler.SparkListener {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskFails = new java.util.concurrent.atomic.AtomicLong
     val stageReattempts = new java.util.concurrent.atomic.AtomicLong
     val execRunMs = new java.util.concurrent.atomic.AtomicLong
     val execCpuNs = new java.util.concurrent.atomic.AtomicLong
-    @volatile var firstFailure: String = ""
+    /** First failure reason within the CURRENT measurement window
+      * (ADVICE r14: a once-per-JVM slot mis-attributed every failure
+      * after the first — query B's sched entry reported query A's
+      * reason). The bench clears it before each query; the reported
+      * reason is then by construction the first failure of THAT
+      * query's window.
+      */
+    @volatile var windowFailure: String = ""
+    def resetWindowFailure(): Unit = windowFailure = ""
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       tasks.incrementAndGet()
       if (e.reason != org.apache.spark.Success) {
         taskFails.incrementAndGet()
-        if (firstFailure.isEmpty)
-          firstFailure = e.reason.toString.linesIterator.take(1)
+        if (windowFailure.isEmpty)
+          windowFailure = e.reason.toString.linesIterator.take(1)
             .mkString.take(200)
       }
       Option(e.taskMetrics).foreach { m =>
@@ -117,7 +125,7 @@ object Bench {
     * store) shows up ONLY here. Classes: gc (GC Thread / G1 *), jit
     * (C1/C2 compiler), exec (executor task threads), other.
     */
-  private def threadCpuByClass(): Map[String, Long] = {
+  private[graft] def threadCpuByClass(): Map[String, Long] = {
     val out = scala.collection.mutable.Map[String, Long]()
       .withDefaultValue(0L)
     val tasks = Option(new java.io.File("/proc/self/task").listFiles())
@@ -309,7 +317,7 @@ object Bench {
       .map { case (name, fn) =>
       val c0 = jvmStat()._1
       val sc0 = sched.snapshot()
-      val fail0 = sched.firstFailure
+      sched.resetWindowFailure()
       val th0 = threadCpuByClass()
       val t0 = System.nanoTime()
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -356,8 +364,7 @@ object Bench {
       locally {
         val sc1 = sched.snapshot()
         val newFail =
-          if (sched.firstFailure != fail0 || (sc1._2 - sc0._2) > 0)
-            sched.firstFailure else ""
+          if ((sc1._2 - sc0._2) > 0) sched.windowFailure else ""
         schedQ(name) = (sc1._1 - sc0._1, sc1._2 - sc0._2, sc1._3 - sc0._3,
           (sc1._4 - sc0._4) / 1e3, (sc1._5 - sc0._5) / 1e9, newFail)
         val th1 = threadCpuByClass()

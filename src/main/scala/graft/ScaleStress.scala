@@ -718,6 +718,122 @@ object ScaleStress {
       return
     }
 
+    if (mode == "stream1") {
+      // Instrumented SINGLE stream-query probe (r15, VERDICT r14 #1:
+      // attribute q138's superlinear ×1024 wall). Runs ONE stream
+      // family query on the ×R distinct dir through the file sink
+      // with full attribution attached:
+      //  - per-micro-batch StreamingQueryProgress JSON (durationMs
+      //    breakdown + stateOperators incl. the RocksDB custom
+      //    metrics: flush/compaction/commit latencies, bytes);
+      //  - per-STAGE scheduler metrics (wall, task run/CPU, GC,
+      //    shuffle read/write, memory/disk spill, input bytes) — the
+      //    decomposition the per-query RoundStats drain can't see;
+      //  - host steal/iowait + native-thread CPU by class around the
+      //    run (the ×1024 probe log recorded no per-run steal — the
+      //    gap the verdict named).
+      // The dir is REUSED if complete (the ×1024 build is 15 GB /
+      // ~9 min); SPARK_GRAFT_STREAM_PARTITIONS / heapIngestMaxRows /
+      // maxFilesPerTrigger reach the query through their existing
+      // knobs for A/B runs.
+      val qname = if (args.length > 3) args(3) else "q138_stream_dedup_near"
+      val fn = graft.streaming.StreamingQueries.queries.getOrElse(qname,
+        sys.error(s"unknown stream query $qname"))
+      val outDir = s"target/stress_distinct_x$rep"
+      val allTables = Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "documents", "embeddings", "events")
+      if (allTables.forall(t => new java.io.File(s"$outDir/$t.parquet").exists()))
+        println(s"[probe] reusing complete $outDir")
+      else {
+        val tB = System.nanoTime()
+        buildDir(spark, srcDir, outDir, rep, distinctDocs = true)
+        println(f"[probe] built $outDir in ${(System.nanoTime() - tB) / 1e9}%.1f s")
+      }
+      // stage-level attribution listener
+      case class StageRow(id: Int, attempt: Int, name: String, tasks: Int,
+        wallS: Double, runS: Double, cpuS: Double, gcS: Double,
+        shuffleReadMB: Double, shuffleWriteMB: Double, spillMemMB: Double,
+        spillDiskMB: Double, inputMB: Double)
+      val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+      val stageListener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val m = si.taskMetrics
+          val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          stageRows.add(StageRow(si.stageId, si.attemptNumber(),
+            si.name.linesIterator.next().take(100), si.numTasks, wall,
+            m.executorRunTime / 1e3, m.executorCpuTime / 1e9,
+            m.jvmGCTime / 1e3,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            m.memoryBytesSpilled / 1e6, m.diskBytesSpilled / 1e6,
+            m.inputMetrics.bytesRead / 1e6))
+        }
+      }
+      // per-micro-batch progress capture (full JSON: durationMs +
+      // stateOperators with the provider's custom metrics)
+      val progressListener =
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryProgressEvent): Unit =
+            println(s"[probe] progress ${e.progress.json}")
+        }
+      spark.sparkContext.addSparkListener(stageListener)
+      spark.streams.addListener(progressListener)
+      graft.streaming.StreamingQueries.sinkModeOverride = Some("file")
+      graft.streaming.StreamingQueries.resetStateRows()
+      graft.RoundStats.drain()
+      val st0 = Bench.procStat()
+      val th0 = Bench.threadCpuByClass()
+      val t0 = System.nanoTime()
+      val n = try fn(spark, outDir).count()
+        finally graft.streaming.StreamingQueries.sinkModeOverride = None
+      val wall = (System.nanoTime() - t0) / 1e9
+      val th1 = Bench.threadCpuByClass()
+      val st1 = Bench.procStat()
+      spark.streams.removeListener(progressListener)
+      spark.sparkContext.removeSparkListener(stageListener)
+      val state = graft.streaming.StreamingQueries
+        .lastStateRowsByOp.map(_._2).sum
+      graft.RoundStats.drain().foreach(s =>
+        println(f"[probe] roundstat ${s.tag}%-28s wall ${s.wallS}%9.2f s  " +
+          f"cpu ${s.cpuS}%9.2f s"))
+      import scala.jdk.CollectionConverters._
+      val rows = stageRows.asScala.toSeq.sortBy(-_.runS)
+      println("[probe] stages by task run time (top 30 of " +
+        s"${rows.size}; wall=submit->complete, run/cpu/gc=task sums):")
+      println("[probe]   id att tasks    wall     run     cpu      gc " +
+        "  shRdMB  shWrMB spillMem spillDsk  inputMB  name")
+      rows.take(30).foreach(r =>
+        println(f"[probe] ${r.id}%4d ${r.attempt}%3d ${r.tasks}%5d " +
+          f"${r.wallS}%7.1f ${r.runS}%7.1f ${r.cpuS}%7.1f ${r.gcS}%7.1f " +
+          f"${r.shuffleReadMB}%8.1f ${r.shuffleWriteMB}%7.1f " +
+          f"${r.spillMemMB}%8.1f ${r.spillDiskMB}%8.1f ${r.inputMB}%8.1f" +
+          s"  ${r.name}"))
+      val steal = (st0, st1) match {
+        case (Some((_, _, w0, s0)), Some((_, _, w1, s1))) =>
+          f""""steal_s":${(s1 - s0) / 100.0}%.1f,"iowait_s":${(w1 - w0) / 100.0}%.1f,"""
+        case _ => ""
+      }
+      val thr = (th0.keySet ++ th1.keySet).toSeq.sorted.map(k =>
+        s""""$k":${(th1.getOrElse(k, 0L) - th0.getOrElse(k, 0L)) / 100.0}""")
+        .mkString("{", ",", "}")
+      println(s"""[probe] summary {"query":"$qname","rep":$rep,"rows":$n,""" +
+        f""""wall_s":$wall%.1f,"state_rows":$state,$steal"thread_cpu_s":$thr}""")
+      graft.streaming.StreamingQueries.cleanupFileSinkDirs()
+      spark.stop()
+      return
+    }
+
     if (mode == "streamparity") {
       var bad = 0
       graft.streaming.StreamingQueries.queries.toSeq.sortBy(_._1)

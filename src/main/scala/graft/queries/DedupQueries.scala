@@ -263,8 +263,41 @@ object DedupQueries {
     * putIteratorAsValues). Serialized levels re-read as bounded byte
     * buffers instead.
     */
-  private[queries] def bigCheckpoint(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, pairLevel(df.sparkSession))
+  private[graft] def bigCheckpoint(df: DataFrame): DataFrame =
+    registerCheckpoint(df.localCheckpoint(true, pairLevel(df.sparkSession)))
+
+  /** Scoped checkpoint tracking for the sliced verify (ADVICE r14):
+    * the slice loop used to free its intermediates by DIFFING the
+    * SparkContext-global persistent-RDD registry around the slice —
+    * which would also unpersist any checkpoint a CONCURRENT pipeline
+    * on the shared context created during the window (unrecoverable:
+    * localCheckpoint truncates lineage). Checkpoints now self-register
+    * into a THREAD-LOCAL collector when one is active, so the slice
+    * frees exactly the ids it created and nothing else. Thread-local
+    * is the right scope: a pipeline constructs its plan on one driver
+    * thread, and concurrent pipelines live on other threads whose
+    * collector slot is independent (or unset — registration is then
+    * a no-op).
+    */
+  private val checkpointCollector =
+    new ThreadLocal[scala.collection.mutable.Set[Int]]()
+
+  private[graft] def collectCheckpoints[T](into: scala.collection.mutable.Set[Int])(
+      body: => T): T = {
+    val prev = checkpointCollector.get()
+    checkpointCollector.set(into)
+    try body finally checkpointCollector.set(prev)
+  }
+
+  private[queries] def registerCheckpoint(df: DataFrame): DataFrame = {
+    Option(checkpointCollector.get()).foreach { c =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => c += lr.rdd.id
+        case _ => ()
+      }
+    }
+    df
+  }
 
   /** Release a [[bigCheckpoint]]'s blocks the moment its LAST consumer
     * has materialized (r13, from the ×2048 scratch attribution): a
@@ -492,9 +525,9 @@ object DedupQueries {
     val cands = graft.RoundStats.timed(s"${tag}_cands") {
       bigCheckpoint(cands0) }
     val candIds = graft.RoundStats.timed(s"${tag}_ids") {
-      cands.select(col("a").as(idCol))
+      registerCheckpoint(cands.select(col("a").as(idCol))
         .union(cands.select(col("b").as(idCol)))
-        .distinct().localCheckpoint() }
+        .distinct().localCheckpoint()) }
     // The strategy guard (see the Scaladoc above): the id set is
     // checkpointed, so the count is a cheap leaf scan, and the
     // decision is deterministic per run — no AQE, no stats guesswork.
@@ -948,7 +981,7 @@ object DedupQueries {
     incrPairsCache.remove(dir)
   }
 
-  private def corpusFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): (Long, Long) = {
     val r = Tables.documents(s, dir)
       .agg(count(lit(1)), max(col("doc_id"))).head
     (r.getLong(0), r.getLong(1))
@@ -1936,21 +1969,26 @@ object DedupQueries {
       else {
         // sliced verify (see VerifySlicesKey): bound the transient
         // scratch at ~1/k by materializing one hash-disjoint slice at
-        // a time and releasing its intermediates before the next
+        // a time and releasing its intermediates before the next.
+        // The slice frees exactly the checkpoints IT created (the
+        // thread-local collector — see checkpointCollector; ADVICE
+        // r14: the old global-registry diff would have unpersisted a
+        // concurrent pipeline's checkpoints too).
         val sc = raw.sparkSession.sparkContext
         (0 until k).map { i =>
-          val before = sc.getPersistentRDDs.keySet
-          val out = bigCheckpoint(verifySliceOf(
-            toVerify.filter(
-              pmod(xxhash64(lit("slice"), col("a")), lit(k.toLong)) === i),
-            s"gram_s$i"))
+          val made = scala.collection.mutable.Set[Int]()
+          val out = collectCheckpoints(made) {
+            bigCheckpoint(verifySliceOf(
+              toVerify.filter(
+                pmod(xxhash64(lit("slice"), col("a")), lit(k.toLong)) === i),
+              s"gram_s$i")) }
           val keep = out.queryExecution.analyzed match {
             case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
             case _ => -1
           }
-          sc.getPersistentRDDs
-            .filter { case (id, _) => !before(id) && id != keep }
-            .values.foreach(_.unpersist(blocking = true))
+          val live = sc.getPersistentRDDs
+          (made - keep).foreach(id =>
+            live.get(id).foreach(_.unpersist(blocking = true)))
           System.gc() // ContextCleaner drops the slice's shuffle files
           out
         }.reduce(_ union _)

@@ -206,11 +206,48 @@ object StreamingQueries {
     * law says watermark-bounded. Measured: 51.2 M rows (×512) drained
     * in-heap on the 8 g JVM; 102.4 M (×1024) GC-thrashed until the
     * executor heartbeat expired (exit 56) with ZERO OOM thrown.
-    * Parquet row count is metadata-only — one footer read.
+    *
+    * Implementation (ADVICE r14): the count comes from the parquet
+    * FOOTERS directly (`ParquetFileReader.getRecordCount` per file,
+    * driver-side, no Spark job — the old `read.parquet(..).count()`
+    * scheduled a real scan job at every q57/q98/q125/q129 start) and
+    * is cached per dir (the harnesses re-query the same dir many
+    * times). A probe failure is LOGGED and uncached — the fallback
+    * (0 ⇒ in-heap provider even for a corpus-sized batch) is exactly
+    * the GC-freeze regime the clause exists to prevent, so it must
+    * never be silent.
     */
+  private val eventsRowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def eventsRowCount(s: SparkSession, dir: String): Long =
-    scala.util.Try(
-      s.read.parquet(s"$dir/events.parquet").count()).getOrElse(0L)
+    Option(eventsRowCountCache.get(dir)).map(_.longValue).getOrElse {
+      try {
+        val root = new java.io.File(s"$dir/events.parquet")
+        val files: Seq[java.io.File] =
+          if (root.isDirectory)
+            root.listFiles().toSeq
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          else if (root.isFile) Seq(root)
+          else throw new java.io.FileNotFoundException(root.getPath)
+        val conf = s.sparkContext.hadoopConfiguration
+        val n = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        eventsRowCountCache.put(dir, n)
+        n
+      } catch {
+        case e: Exception =>
+          System.err.println("[graft] eventsRowCount footer probe failed " +
+            s"for $dir (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "intra-batch ingest unknown; the IN-HEAP state provider " +
+            "will be kept regardless of batch size for this query")
+          0L
+      }
+    }
 
   /** In-heap intra-batch ingest ceiling (rows) before the state store
     * must spill: default 6e7 sits between the measured 51.2 M survive
@@ -941,6 +978,48 @@ object StreamingQueries {
     * stream-static join. Returns the UN-drained streaming frame
     * (a, b, jaccard) with a < b; callers pick the sink shape.
     */
+  /** Memoized corpus feature table for the stream-static verify side
+    * of q138/q139 — one eager `localCheckpoint(MEMORY_AND_DISK_SER)`
+    * per (dir, corpus-fingerprint), shared by every caller in the JVM
+    * (the daily-job contract: q138 emits pairs and q139 applies them
+    * over the SAME written feature table; cf. DedupQueries'
+    * incrPairsCache). A fingerprint change rebuilds and unpersists
+    * the stale entry. [[invalidateStreamFeats]] is the harness hook
+    * for anything that releases blocks out-of-band.
+    */
+  private val streamFeatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, ((Long, Long), DataFrame)]
+
+  private[graft] def invalidateStreamFeats(dir: String): Unit =
+    streamFeatsCache.remove(dir).foreach { case (_, df) =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+
+  private def streamFeats(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.queries.DedupQueries.corpusFingerprint(s, dir)
+    streamFeatsCache.get(dir) match {
+      case Some((`fp`, df)) =>
+        graft.RoundStats.record("stream_feats_memo_hit", 0, 0)
+        df
+      case stale =>
+        val df = graft.RoundStats.timed("stream_feats_ckpt") {
+          graft.queries.DedupQueries.hashedFeaturesOf(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")))
+            .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        }
+        // the stale entry's blocks are dead the moment the new table
+        // exists — free them now instead of waiting on the GC cleaner
+        if (stale.isDefined) invalidateStreamFeats(dir)
+        streamFeatsCache.put(dir, (fp, df))
+        df
+    }
+  }
+
   private[graft] def streamNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docSchema = StructType(Seq(
@@ -1028,10 +1107,11 @@ object StreamingQueries {
     // deserialized-unroll OOM class is documented on
     // DedupQueries.bigCheckpoint — this is the written feature table
     // a deployment would keep next to the standing index).
-    val feats = graft.queries.DedupQueries.hashedFeaturesOf(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Memoized PER DIR, fingerprint-guarded (ADVICE r14: q138 and
+    // q139 each built their own corpus-sized checkpoint and never
+    // unpersisted it, so repeated calls in one JVM accumulated
+    // corpus-sized block sets — same contract as incrPairsCache).
+    val feats = streamFeats(s, dir)
     candidates.toDF()
       .join(feats.select(col("doc_id").as("a"), col("hsh").as("f_a")), "a")
       .join(feats.select(col("doc_id").as("b"), col("hsh").as("f_b")), "b")

@@ -27,4 +27,10 @@ object GraftSqlBridge {
     */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
+  /** Drain the listener bus (test-only: job-count assertions read
+    * listener-fed counters, and delivery is asynchronous).
+    */
+  def waitForListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
