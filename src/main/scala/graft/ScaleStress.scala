@@ -827,8 +827,10 @@ object ScaleStress {
       val thr = (th0.keySet ++ th1.keySet).toSeq.sorted.map(k =>
         s""""$k":${(th1.getOrElse(k, 0L) - th0.getOrElse(k, 0L)) / 100.0}""")
         .mkString("{", ",", "}")
+      val nparts = graft.streaming.StreamingQueries.lastNumShufflePartitions
       println(s"""[probe] summary {"query":"$qname","rep":$rep,"rows":$n,""" +
-        f""""wall_s":$wall%.1f,"state_rows":$state,$steal"thread_cpu_s":$thr}""")
+        f""""wall_s":$wall%.1f,"state_rows":$state,""" +
+        s""""partitions":$nparts,$steal"thread_cpu_s":$thr}""")
       graft.streaming.StreamingQueries.cleanupFileSinkDirs()
       spark.stop()
       return

@@ -190,6 +190,14 @@ object StreamingQueries {
   @volatile private[graft] var lastStateRowsByOp: Seq[(String, Long)] =
     Seq.empty
 
+  /** Shuffle-partition count the LAST drained stateful query ran with
+    * (0 for stateless/no-progress queries) — published so the scale
+    * harness and the partition-cap spec can assert the ingest-aware
+    * cap actually reached the executed stream (the conf is fixed into
+    * the checkpoint at start; the progress is the ground truth).
+    */
+  @volatile private[graft] var lastNumShufflePartitions: Long = 0L
+
   /** Clear the accumulated state-row capture (call before the query
     * under measurement — a stateless query must not inherit its
     * predecessor's rows).
@@ -217,13 +225,15 @@ object StreamingQueries {
     * the GC-freeze regime the clause exists to prevent, so it must
     * never be silent.
     */
-  private val eventsRowCountCache =
+  private val tableRowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private[graft] def eventsRowCount(s: SparkSession, dir: String): Long =
-    Option(eventsRowCountCache.get(dir)).map(_.longValue).getOrElse {
+  private[graft] def tableRowCount(s: SparkSession, dir: String,
+      table: String): Long = {
+    val key = s"$dir/$table.parquet"
+    Option(tableRowCountCache.get(key)).map(_.longValue).getOrElse {
       try {
-        val root = new java.io.File(s"$dir/events.parquet")
+        val root = new java.io.File(key)
         val files: Seq[java.io.File] =
           if (root.isDirectory)
             root.listFiles().toSeq
@@ -237,17 +247,22 @@ object StreamingQueries {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try r.getRecordCount finally r.close()
         }.sum
-        eventsRowCountCache.put(dir, n)
+        tableRowCountCache.put(key, n)
         n
       } catch {
         case e: Exception =>
-          System.err.println("[graft] eventsRowCount footer probe failed " +
-            s"for $dir (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          System.err.println("[graft] row-count footer probe failed " +
+            s"for $key (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
             "intra-batch ingest unknown; the IN-HEAP state provider " +
-            "will be kept regardless of batch size for this query")
+            "and the gate-scale partition cap will be kept regardless " +
+            "of batch size for this query")
           0L
       }
     }
+  }
+
+  private[graft] def eventsRowCount(s: SparkSession, dir: String): Long =
+    tableRowCount(s, dir, "events")
 
   /** In-heap intra-batch ingest ceiling (rows) before the state store
     * must spill: default 6e7 sits between the measured 51.2 M survive
@@ -259,6 +274,43 @@ object StreamingQueries {
   private def heapIngestMaxRows(s: SparkSession): Long =
     s.conf.getOption("spark.graft.stream.heapIngestMaxRows")
       .flatMap(_.toLongOption).filter(_ > 0).getOrElse(60000000L)
+
+  /** Rows of single-batch ingest one stream shuffle partition should
+    * carry before the partition cap scales out. DEFAULT DISABLED
+    * (0 → the fixed gate cap), a MEASURED negative result (r15): the
+    * instrumented ×1024 q138 probe first showed 77% of the wall in
+    * one 4-task stage on a 32-core box — but the same-day partition
+    * sweep at ×1024 came out {4p: 1,737.7 s, 16p: 1,678.2 s,
+    * 32p: 2,080.7 s}: FLAT, then WORSE. Attribution for the 32p
+    * regression: per-group state-update latency inflated 53 µs →
+    * 440 µs almost entirely OFF-CPU (RocksDB writer stalls — 32
+    * instances flushing/compacting against ONE disk), and shuffle
+    * volume inflated 2.6× (4.6 → 12.2 GB: per-reducer compressed
+    * chunks shrink 8-fold and lz4 loses its dictionary on the highly
+    * redundant keyed-member rows). On a single-disk box the stateful
+    * stage is state-store-IO-bound, not core-bound, so width buys
+    * nothing; on a cluster, width scales per-EXECUTOR-DISK and this
+    * knob (rows per partition, e.g. 2e6) sizes it — which is why the
+    * mechanism ships but the single-box default stays off.
+    */
+  private def rowsPerStreamPartition(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.stream.rowsPerPartition")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L)
+
+  /** The stream's shuffle-partition count (state store instances):
+    * the fixed gate cap (min(4, session)) unless
+    * [[rowsPerStreamPartition]] is enabled (> 0) AND the estimated
+    * single-batch ingest of the stateful operator exceeds it per
+    * partition — then linear in ingest up to the session's width.
+    * Pure — spec'd directly.
+    */
+  private[graft] def streamPartitionCap(prev: Int, ingestRows: Long,
+      rowsPerPart: Long): Int = {
+    val base = math.min(4, prev)
+    if (ingestRows <= 0L || rowsPerPart <= 0L) base
+    else math.max(base,
+      math.min(prev.toLong, ingestRows / rowsPerPart).toInt)
+  }
 
   private def runToSnapshot(s: SparkSession, df: DataFrame, prefix: String,
       mode: OutputMode, corpusLinearState: Boolean = false,
@@ -326,7 +378,8 @@ object StreamingQueries {
                 "positive int; using the default stream cap")
             p
           }
-          .getOrElse(math.min(4, prev.toInt))
+          .getOrElse(streamPartitionCap(prev.toInt, ingestRows,
+            rowsPerStreamPartition(s)))
         s.conf.set("spark.sql.shuffle.partitions", cap.toString)
         if (!useFile)
           df.writeStream.outputMode(mode).format("memory")
@@ -368,6 +421,9 @@ object StreamingQueries {
       lastStateRowsByOp = lastStateRowsByOp ++ Option(q.lastProgress).toSeq
         .flatMap(_.stateOperators.toSeq)
         .map(so => (so.operatorName, so.numRowsTotal))
+      lastNumShufflePartitions = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numShufflePartitions).maxOption.getOrElse(0L)
       val nb = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
       graft.RoundStats.record(s"${prefix}_drain_b$nb",
         (System.nanoTime() - t0) / 1e9,
@@ -1123,11 +1179,21 @@ object StreamingQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** q138/q139's stateful-operator single-batch ingest estimate for
+    * the partition cap: ~17 keyed member rows per doc (16 LSH bands +
+    * the exact-signature band — the standing index shape). The
+    * replay regime feeds the corpus as one batch, so this IS the
+    * rows the sort + flatMapGroupsWithState stage carries.
+    */
+  private def docIngestRows(s: SparkSession, dir: String): Long =
+    17L * tableRowCount(s, dir, "documents")
+
   def q138(s: SparkSession, dir: String): DataFrame =
     // ~17 buckets/doc of member-list state ⇒ corpus-linear,
     // disk-backed at scale
     runToSnapshot(s, streamNearDupPairs(s, dir), "q138_sink",
-      OutputMode.Append, corpusLinearState = true)
+      OutputMode.Append, corpusLinearState = true,
+      ingestRows = docIngestRows(s, dir))
       .orderBy("a", "b")
 
   /** Streaming incremental APPLY (r13) — the keep/drop decision stream
@@ -1162,7 +1228,8 @@ object StreamingQueries {
     runToSnapshot(s,
       streamNearDupPairs(s, dir)
         .select(col("b").as("doc_id"), col("jaccard")),
-      "q139_sink", OutputMode.Append, corpusLinearState = true)
+      "q139_sink", OutputMode.Append, corpusLinearState = true,
+      ingestRows = docIngestRows(s, dir))
       .groupBy("doc_id")
       .agg(max(col("jaccard")).as("max_jaccard"),
         count(lit(1)).as("n_dup_sources"))
