@@ -343,7 +343,23 @@ object ScaleStress {
     buildDir(spark, srcDir, outDir, rep, distinctDocs = true, docsOnly = true)
     println(f"[stress] built distinct $outDir in ${
       (System.nanoTime() - tB) / 1e9}%.1f s")
-    releasingExcept(spark)(Set.empty) {
+    // Peak-disk sampler (r16, VERDICT r15 #4): the ×8192 go/no-go is a
+    // DISK envelope, so the probe measures its own peak instead of
+    // relying on an operator eyeballing df mid-run. 1 Hz min-free
+    // tracking over the run; the report is the delta from the start.
+    val free0 = new java.io.File("/").getUsableSpace
+    val minFree = new java.util.concurrent.atomic.AtomicLong(free0)
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val f = new java.io.File("/").getUsableSpace
+        minFree.getAndUpdate(m => math.min(m, f))
+        Thread.sleep(1000)
+      }
+    }, "distinct37-disk-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+    try releasingExcept(spark)(Set.empty) {
       val baseQ37 = SparkEntry.queries("q37_ngram_jaccard")(spark, srcDir)
         .localCheckpoint()
       val t0 = System.nanoTime()
@@ -351,6 +367,13 @@ object ScaleStress {
         .localCheckpoint()
       pairInvarianceAt(rep)("q37", baseQ37, xQ37,
         (System.nanoTime() - t0) / 1e9)
+    } finally {
+      sampling = false
+      println(f"[stress] q37 ×$rep peak disk delta ${
+        (free0 - minFree.get) / 1e9}%.2f GB (start free ${free0 / 1e9}%.2f " +
+        f"GB, min free ${minFree.get / 1e9}%.2f GB, releasePairs=${
+          spark.conf.getOption(
+            graft.queries.DedupQueries.ReleasePairsKey).getOrElse("default")})")
     }
   }
 
@@ -652,6 +675,18 @@ object ScaleStress {
     // dedup child sessions like the other spark.graft.dedup.* keys)
     sys.env.get("SPARK_GRAFT_VERIFY_SLICES").foreach(v =>
       spark.conf.set(graft.queries.DedupQueries.VerifySlicesKey, v))
+    // A/B lever for the release-as-you-go peak-disk measurement
+    // (r16; default on — see DedupQueries.ReleasePairsKey)
+    sys.env.get("SPARK_GRAFT_RELEASE_PAIRS").foreach(v =>
+      spark.conf.set(graft.queries.DedupQueries.ReleasePairsKey, v))
+    // Generic conf pass-through (same contract as Bench's), e.g.
+    // SPARK_GRAFT_CONF="spark.graft.stream.maxFilesPerTrigger=2" for
+    // the multi-micro-batch Kafka-regime probe (VERDICT r15 #5)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";")
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     if (mode == "distinct") {
       runDistinct(spark, srcDir, rep)
@@ -800,6 +835,11 @@ object ScaleStress {
       val wall = (System.nanoTime() - t0) / 1e9
       val th1 = Bench.threadCpuByClass()
       val st1 = Bench.procStat()
+      // Listener delivery is asynchronous: drain the bus before
+      // detaching, or trailing SparkListenerStageCompleted events
+      // (e.g. the final snapshot count) silently miss the per-stage
+      // attribution table (ADVICE r15).
+      org.apache.spark.sql.GraftSqlBridge.waitForListeners(spark.sparkContext)
       spark.streams.removeListener(progressListener)
       spark.sparkContext.removeSparkListener(stageListener)
       val state = graft.streaming.StreamingQueries

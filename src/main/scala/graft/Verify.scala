@@ -9,6 +9,12 @@ object Verify {
     // optional 3rd arg: comma-separated query subset (local rehearsal)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // round-close fence (VERDICT r15 #2): name any concurrent graft
+    // process loudly — verify is correctness-only, so a banner (not a
+    // refusal) is the right strength here; Bench records the same
+    // probe inside its artifact.
+    Bench.concurrentGraftJvms().foreach(p =>
+      System.err.println(s"[verify] WARNING: concurrent graft process $p"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -234,10 +234,26 @@ object StreamingQueries {
     Option(tableRowCountCache.get(key)).map(_.longValue).getOrElse {
       try {
         val root = new java.io.File(key)
+        // Recursive: a hive-partitioned or otherwise nested layout
+        // (Sources.writePartitioned) keeps its part files in
+        // subdirectories — a top-level-only listing would see zero
+        // files and silently CACHE n=0, which is exactly the silent
+        // in-heap fallback the logged error path below exists to
+        // prevent (ADVICE r15). An empty result under a real
+        // directory is therefore a probe FAILURE, not a count.
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq
+              .filterNot(_.getName.startsWith("_")).flatMap(walk)
+          else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+          else Seq.empty
         val files: Seq[java.io.File] =
-          if (root.isDirectory)
-            root.listFiles().toSeq
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          if (root.isDirectory) {
+            val fs = walk(root)
+            if (fs.isEmpty) throw new java.io.FileNotFoundException(
+              s"no .parquet files under directory ${root.getPath}")
+            fs
+          }
           else if (root.isFile) Seq(root)
           else throw new java.io.FileNotFoundException(root.getPath)
         val conf = s.sparkContext.hadoopConfiguration
@@ -1046,13 +1062,16 @@ object StreamingQueries {
   private val streamFeatsCache =
     scala.collection.concurrent.TrieMap.empty[String, ((Long, Long), DataFrame)]
 
+  private def unpersistFeats(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private[graft] def invalidateStreamFeats(dir: String): Unit =
     streamFeatsCache.remove(dir).foreach { case (_, df) =>
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false)
-        case _ => ()
-      }
+      unpersistFeats(df)
     }
 
   private def streamFeats(s: SparkSession, dir: String): DataFrame = {
@@ -1068,11 +1087,29 @@ object StreamingQueries {
             .localCheckpoint(true,
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         }
-        // the stale entry's blocks are dead the moment the new table
-        // exists — free them now instead of waiting on the GC cleaner
-        if (stale.isDefined) invalidateStreamFeats(dir)
-        streamFeatsCache.put(dir, (fp, df))
-        df
+        installStreamFeats(dir, fp, df, stale)
+    }
+  }
+
+  /** CAS-install a freshly built feature table, freeing the stale
+    * entry's blocks eagerly — but only the EXACT entry observed at
+    * lookup: a concurrent caller may have installed (and be reading)
+    * a fresh entry since, and its lineage-free localCheckpoint cannot
+    * survive an unpersist (ADVICE r15 — the same corruption class the
+    * sliced-verify thread-local collector closed). On losing the
+    * install race to an equivalent (same-fingerprint) entry, OUR
+    * table — unseen by anyone — is freed and the winner's returned.
+    */
+  private[graft] def installStreamFeats(dir: String, fp: (Long, Long),
+      df: DataFrame, stale: Option[((Long, Long), DataFrame)]): DataFrame = {
+    stale.foreach { old =>
+      if (streamFeatsCache.remove(dir, old)) unpersistFeats(old._2)
+    }
+    streamFeatsCache.putIfAbsent(dir, (fp, df)) match {
+      case Some((`fp`, winner)) =>
+        unpersistFeats(df)
+        winner
+      case _ => df
     }
   }
 
