@@ -679,6 +679,24 @@ object ScaleStress {
     // (r16; default on — see DedupQueries.ReleasePairsKey)
     sys.env.get("SPARK_GRAFT_RELEASE_PAIRS").foreach(v =>
       spark.conf.set(graft.queries.DedupQueries.ReleasePairsKey, v))
+    // Lean checkpoint retention for multi-batch disk-envelope probes
+    // (r16): the ×2048 mb16 legs measured the checkpoint dir as
+    // strictly append-only inside a short run — default
+    // minBatchesToRetain=100 means maintenance never deletes a
+    // version in a ≤9-batch probe, so tens of GB of stale snapshots
+    // co-reside with the live SSTs until ENOSPC. Retaining 2 versions
+    // with a 15 s maintenance tick frees stale versions DURING the
+    // run. This is deployment policy (it shortens the recovery
+    // window), so it is a probe lever, not an engine default — unlike
+    // changelog checkpointing, which StreamingQueries now pins
+    // alongside RocksDB unconditionally (semantics unchanged there).
+    if (sys.env.get("SPARK_GRAFT_LEAN_CKPT").contains("true")) {
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.maintenanceInterval", "15s")
+      spark.conf.set(
+        "spark.sql.streaming.ratioExtraSpaceAllowedInCheckpoint", "0.0")
+    }
     // Generic conf pass-through (same contract as Bench's), e.g.
     // SPARK_GRAFT_CONF="spark.graft.stream.maxFilesPerTrigger=2" for
     // the multi-micro-batch Kafka-regime probe (VERDICT r15 #5)
@@ -829,9 +847,29 @@ object ScaleStress {
       graft.RoundStats.drain()
       val st0 = Bench.procStat()
       val th0 = Bench.threadCpuByClass()
+      // 1 Hz peak-disk sampler (r16, same as distinct37's): the ×2048
+      // single-batch legs died on TRANSIENT disk (sort spill + SSTs +
+      // checkpoint co-resident), so every stream probe now records its
+      // own min-free — the envelope number the post-mortem had to
+      // reconstruct from 1 Hz `df` eyeballs.
+      val free0 = new java.io.File("/").getUsableSpace
+      val minFree = new java.util.concurrent.atomic.AtomicLong(free0)
+      @volatile var sampling = true
+      val diskSampler = new Thread(() => {
+        while (sampling) {
+          val f = new java.io.File("/").getUsableSpace
+          minFree.getAndUpdate(m => math.min(m, f))
+          Thread.sleep(1000)
+        }
+      }, "stream1-disk-sampler")
+      diskSampler.setDaemon(true)
+      diskSampler.start()
       val t0 = System.nanoTime()
       val n = try fn(spark, outDir).count()
-        finally graft.streaming.StreamingQueries.sinkModeOverride = None
+        finally {
+          graft.streaming.StreamingQueries.sinkModeOverride = None
+          sampling = false
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       val th1 = Bench.threadCpuByClass()
       val st1 = Bench.procStat()
@@ -870,6 +908,8 @@ object ScaleStress {
       val nparts = graft.streaming.StreamingQueries.lastNumShufflePartitions
       println(s"""[probe] summary {"query":"$qname","rep":$rep,"rows":$n,""" +
         f""""wall_s":$wall%.1f,"state_rows":$state,""" +
+        f""""peak_disk_gb":${(free0 - minFree.get) / 1e9}%.2f,""" +
+        f""""min_free_gb":${minFree.get / 1e9}%.2f,""" +
         s""""partitions":$nparts,$steal"thread_cpu_s":$thr}""")
       graft.streaming.StreamingQueries.cleanupFileSinkDirs()
       spark.stop()

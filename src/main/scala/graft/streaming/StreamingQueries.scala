@@ -378,9 +378,24 @@ object StreamingQueries {
     val prevProv = s.conf.getOption(provKey)
     val needRocks = corpusLinearState ||
       (ingestRows > heapIngestMaxRows(s))
-    if (useFile && needRocks)
+    // Changelog checkpointing rides along with the RocksDB pin (r16):
+    // the ×2048 multi-batch probe measured default full-snapshot
+    // checkpointing re-uploading every compaction-rewritten SST each
+    // commit (3.99 → 5.36 → 10.96 GB per commit for 12 GB of live
+    // state — 1.7× amplification after three batches) until the
+    // checkpoint dir ENOSPC'd the run. With changelogs a commit ships
+    // only the batch's own puts; snapshots move to the async
+    // maintenance thread. Exactly-once semantics are unchanged (the
+    // changelog replays over the last snapshot on recovery), so this
+    // applies wherever corpus-linear state already forced RocksDB.
+    val clogKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prevClog = s.conf.getOption(clogKey)
+    if (useFile && needRocks) {
       s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
+      s.conf.set(clogKey, "true")
+    }
     val q = graft.RoundStats.timed(s"${prefix}_start") {
       try {
         // env hardening (cf. ScopedConf.TinyLoopRows): a malformed or
@@ -424,9 +439,15 @@ object StreamingQueries {
               "(Update emits deltas; a full-state snapshot would be wrong)")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
-        if (useFile && needRocks) prevProv match {
-          case Some(p) => s.conf.set(provKey, p)
-          case None    => s.conf.unset(provKey)
+        if (useFile && needRocks) {
+          prevProv match {
+            case Some(p) => s.conf.set(provKey, p)
+            case None    => s.conf.unset(provKey)
+          }
+          prevClog match {
+            case Some(p) => s.conf.set(clogKey, p)
+            case None    => s.conf.unset(clogKey)
+          }
         }
       }
     }
