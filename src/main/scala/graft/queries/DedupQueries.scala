@@ -89,10 +89,12 @@ object DedupQueries {
     * fixed ~200 B structs × 17 keys/doc), so 2 MB of scan bytes per
     * partition lands bucket partitions at roughly 8–64 MB of shuffled
     * structs — inside a task's execution share with headroom. Clamped
-    * to [session shuffle partitions, 16384]: the floor keeps gate-scale
-    * plans unchanged, the ceiling bounds task-count blowup if a stats
-    * estimate is ever wildly inflated (a LogicalRDD with unknown stats
-    * reports defaultSizeInBytes ≈ Long.Max and is treated as unknown →
+    * to [1, 16384]: proportional in BOTH directions since r16 (a tiny
+    * corpus no longer fans its bucket exchanges out to the session
+    * width — see the floor-removal note in [[bucketAggParts]]); the
+    * ceiling bounds task-count blowup if a stats estimate is ever
+    * wildly inflated (a LogicalRDD with unknown stats reports
+    * defaultSizeInBytes ≈ Long.Max and is treated as unknown →
     * session partitions).
     */
   private[graft] val BucketScanBytesKey =
@@ -117,7 +119,24 @@ object DedupQueries {
     // > 1 PB ⇒ the "unknown size" sentinel (defaultSizeInBytes), not a
     // real corpus measurement — fall back to the session's static width
     if (bytes <= 0 || bytes > BigInt(1L << 50)) base
-    else math.max(base, (bytes / per + 1).min(BigInt(BucketMaxParts)).toInt)
+    // Scale-adaptive BOTH ways (r16, optimization round; guide §2.2 —
+    // fewer, larger partitions): the old `max(base, …)` floor pinned
+    // every bucket exchange to the session width even when the corpus
+    // measures a handful of 2 MB budget units, so a gate-scale corpus
+    // ran its bucket aggs, bucket checkpoints and (×4-derived) q136
+    // index/probe widths at 32–128 partitions of near-empty data —
+    // measured ~25–55 ms of fixed CPU per task in this sandbox, pure
+    // overhead multiplied by every downstream scan of those
+    // checkpoints. The width now follows the measured bytes/partition
+    // budget in both directions: per-partition volume is ~constant by
+    // construction (the invariant this knob exists to enforce), and
+    // the compute-heavy stages keep their own explicit widths (the
+    // signature map side runs at the scan/fanOut partitioning; the
+    // quadratic pair expansions repartition to
+    // max(defaultParallelism, width) unchanged). Large corpora are
+    // unaffected: past ~64 MB of scan bytes the derived width exceeds
+    // any session width the driver uses.
+    else (bytes / per + 1).min(BigInt(BucketMaxParts)).toInt
   }
 
   /** q36 level-3 re-block budget, in KEYED ROWS (members × 8
@@ -811,7 +830,6 @@ object DedupQueries {
 
   private[graft] def minHashPairs(raw: DataFrame): DataFrame = {
     val bucketParts = bucketAggParts(raw)
-    val sh = shingle2Of(raw)
     // Band keys PLUS an exact-signature key (band index 16, the q37
     // salted-h1 move, r7): an exact-dup clique larger than MaxBucket
     // floods ALL its band buckets past the cap — without this key its
@@ -828,7 +846,31 @@ object DedupQueries {
     // vs q37's 8.2 s on the same corpus).
     // `sk` (bottom-16 shingle hashes) rides in the member struct as
     // the LEVEL-2 re-block key space — same shape as q37's sketch.
-    val keyed = minHashKeyed(sh)
+    // The scan-stat-sized repartition (see bucketAggParts) carries the
+    // bucket groupBy's own hash distribution, so the aggregate adds no
+    // second exchange — the one shuffle of member structs just runs at
+    // corpus-proportional width instead of the session's static
+    // partitions.
+    minHashPairsFromKeyed(raw,
+      minHashKeyed(shingle2Of(raw))
+        .repartition(bucketParts, col("band"), col("key")),
+      bucketParts)
+  }
+
+  /** The symmetric pair pipeline over PRE-KEYED member rows that are
+    * already hash-partitioned by (band, key) — `keyed` must be
+    * [[minHashKeyed]] output (or a checkpoint of it) distributed on
+    * those two columns, so the bucket aggregation below adds no
+    * exchange. Split out (r16, optimization round) so q136's
+    * new-vs-new leg can reuse the probe-keys checkpoint it already
+    * materialized: the shard's tokenize + shingle + 128-perm MinHash
+    * pass used to run twice per increment (once for the index probe,
+    * once inside this pipeline) — at deployment scale that is a full
+    * redundant pass over the daily shard (guide §1.2: don't compute
+    * things twice).
+    */
+  private[graft] def minHashPairsFromKeyed(raw: DataFrame, keyed: DataFrame,
+      bucketParts: Int): DataFrame = {
     // Pair-volume upper bound per bucket, riding the bucket
     // checkpoint's own job (no extra action): exact/small buckets
     // expand to exactly C(sz,2); an oversized band bucket re-blocks
@@ -838,13 +880,7 @@ object DedupQueries {
     val szEst = size(col("members")).cast("long")
     val obsEst = Observation()
     val buckets = graft.RoundStats.timed("minhash_buckets") {
-      // scan-stat-sized exchange (see bucketAggParts): the explicit
-      // repartition carries the groupBy's own hash distribution, so
-      // the aggregate adds no second exchange — the one shuffle of
-      // member structs just runs at corpus-proportional width instead
-      // of the session's static partitions
       bigCheckpoint(keyed
-        .repartition(bucketParts, col("band"), col("key"))
         .groupBy("band", "key").agg(collect_list("m").as("members"))
         .filter(size(col("members")) >= 2)
         .observe(obsEst, coalesce(sum(
@@ -1265,8 +1301,17 @@ object DedupQueries {
       .select(col("a"), col("b"), jaccard(col("f_a"), col("f_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
     // New-vs-new: the symmetric pipeline on the shard alone — shard-
-    // sized work, the corpus side never re-pairs.
-    val nn = minHashPairs(rawNew)
+    // sized work, the corpus side never re-pairs. Feeds off the
+    // ALREADY-materialized probe-keys checkpoint (r16): `newKeyed` IS
+    // minHashKeyed over the shard, hash-partitioned on (band, key), so
+    // the symmetric bucket agg rides its preserved partitioning with
+    // no exchange — the shard's tokenize + shingle + 128-perm MinHash
+    // pass runs ONCE per increment instead of twice (at deployment
+    // scale, one full redundant pass over the daily shard removed).
+    // The bucket agg rides newKeyed's own (index-width) partitioning;
+    // the expand/re-block widths keep following the SHARD's scan stats
+    // exactly as the standalone pipeline would size them.
+    val nn = minHashPairsFromKeyed(rawNew, newKeyed, bucketAggParts(rawNew))
     finalStage("incr_final") {
       exactNB.union(verifiedNB).union(nn)
         .select(col("a"), col("b"), col("jaccard"),

@@ -25,13 +25,27 @@ object Extended17 {
     "vowel_run" -> "[aeiou]{2,}")
 
   private def q113(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+    // ONE scan, ONE normalization pass, every pattern extracted in the
+    // same projection (r16, guide §1.2/§2.5): the per-pattern unionAll
+    // re-scanned the corpus and re-ran the 3-regex normText chain per
+    // branch, and the documents table ships as a single small file —
+    // ≤4 scan splits — so the regex work ran near-serial (measured
+    // 2.5 CPU-s on 4 tasks, 3.7 s wall at sf0.1). The narrow-scan
+    // repartition spreads the regex stage across the session's cores;
+    // at cluster scale a real corpus scan is already thousands of
+    // splits and the branch never fires (cf. DedupQueries.fanOut).
+    val t0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val target = s.sparkContext.defaultParallelism
+    val t = (if (t0.rdd.getNumPartitions < target) t0.repartition(target)
+             else t0)
       .select(col("doc_id"), T.normText(col("text")).as("t"))
-    Patterns.map { case (kind, re) =>
-      t.select(col("doc_id"), lit(kind).as("kind"),
-          posexplode(regexp_extract_all(col("t"), lit(re), lit(0)))
-            .as(Seq("match_idx", "matched")))
-    }.reduce(_ unionAll _)
+    t.select(col("doc_id"),
+        explode(array(Patterns.map { case (kind, re) =>
+          struct(lit(kind).as("kind"),
+            regexp_extract_all(col("t"), lit(re), lit(0)).as("l"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"),
+        posexplode(col("e.l")).as(Seq("match_idx", "matched")))
       .orderBy("doc_id", "kind", "match_idx")
   }
 

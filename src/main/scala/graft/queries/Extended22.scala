@@ -223,22 +223,38 @@ object Extended22 {
                   rankJoin(cur)
                     .select(col("dst").as("node"),
                       (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
-                // TWO recurrence steps per checkpoint (r8, the
-                // BENCH_r07 residue fix): the fused plan runs both
-                // rounds' shuffles inside ONE action — same data
-                // volume, half the job-launch/plan-analysis/checkpoint
-                // fixed cost that dominates when the per-round rank
-                // table is KB-sized. Fusing is sound only when the
-                // recurrence references its input rank table exactly
-                // ONCE per step — true iff the head split is INACTIVE:
-                // with heads, rankJoin reads r twice (the array join
-                // AND the broadcast head slice), so a fused second
-                // step would embed the first step's un-checkpointed
-                // plan twice — the same 2^k growth the unfused star
-                // path avoids. The general path below also references
-                // r twice per step (dangling mass + join) and stays
-                // unfused.
-                val fuseK = if (nHeads == 0) 2 else 1
+                // FUSED recurrence steps per checkpoint (r8, the
+                // BENCH_r07 residue fix; width conf'd r16): the fused
+                // plan runs k rounds' shuffles inside ONE action —
+                // same data volume, 1/k the job-launch/plan-analysis/
+                // checkpoint fixed cost that dominates when the
+                // per-round rank table is KB-sized. Fusing is sound
+                // only when the recurrence references its input rank
+                // table exactly ONCE per step — true iff the head
+                // split is INACTIVE: with heads, rankJoin reads r
+                // twice (the array join AND the broadcast head slice),
+                // so a fused second step would embed the first step's
+                // un-checkpointed plan twice — the same 2^k growth the
+                // unfused star path avoids. The general path below
+                // also references r twice per step (dangling mass +
+                // join) and stays unfused. Plan depth grows linearly
+                // in k (one join+explode+agg per step — r appears once
+                // per step), so the only cost of a wider fuse is
+                // retry granularity: a lost-executor recompute replays
+                // up to k rounds instead of 2. Default 5 (the r16 A/B,
+                // quiet-host subset bench, OPTIMIZATION_r16.md: fuse 2
+                // ran rounds in 3 actions at 4.58 s / 618 tasks, fuse 5
+                // in ONE action at 4.31 s / 554 tasks — same shuffle
+                // volume, ~1/3 the action/checkpoint fixed cost; the
+                // codegen+AQE arm of the same A/B regressed the fused
+                // round 4.31 → 7.56 s, re-confirming the interpreted
+                // tiny-loop gate). `spark.graft.pagerank.fuseRounds`
+                // sizes it per deployment the way shuffle partitions
+                // are sized.
+                val fuseK =
+                  if (nHeads != 0) 1
+                  else s.conf.getOption("spark.graft.pagerank.fuseRounds")
+                    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(5)
                 var left = iters
                 var round = 0
                 while (left > 0) {

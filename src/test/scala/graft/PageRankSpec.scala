@@ -162,19 +162,32 @@ class PageRankSpec extends AnyFunSuite {
   }
 
   test("step fusion is active only when the head split is empty") {
-    // Fusing two recurrence steps per action is sound only while the
+    // Fusing recurrence steps per action is sound only while the
     // rank join reads its input ONCE; with heads active it reads it
     // twice (array join + broadcast head slice), so a fused plan
     // would embed the prior step twice. The stage tags expose the
     // per-action step count (pr_roundNxK): headless regular graph →
-    // x2 actions; same graph with a forced head split → all x1.
+    // ONE fused action at the default width (5 ≥ iters, the r16
+    // measured default); same graph with a forced head split → all x1.
     graft.RoundStats.drain()
     Extended22.integerPageRank(edges.toDF("src", "dst"), iters = 4)
       .collect()
     val fused = graft.RoundStats.drain().map(_.tag)
       .filter(_.startsWith("pr_round"))
-    assert(fused === Seq("pr_round1x2", "pr_round2x2"),
-      s"headless regular loop should fuse 2 steps/action: $fused")
+    assert(fused === Seq("pr_round1x4"),
+      s"headless regular loop should fuse all 4 steps into one action: $fused")
+    // the conf knob narrows the fuse width (deployment-sized the way
+    // shuffle partitions are)
+    val s = edges.toDF("src", "dst").sparkSession
+    s.conf.set("spark.graft.pagerank.fuseRounds", "2")
+    try {
+      Extended22.integerPageRank(edges.toDF("src", "dst"), iters = 4)
+        .collect()
+      val fused2 = graft.RoundStats.drain().map(_.tag)
+        .filter(_.startsWith("pr_round"))
+      assert(fused2 === Seq("pr_round1x2", "pr_round2x2"),
+        s"fuseRounds=2 should run 2 steps/action: $fused2")
+    } finally s.conf.unset("spark.graft.pagerank.fuseRounds")
     Extended22.integerPageRank(edges.toDF("src", "dst"), iters = 4,
         maxAdjArray = 2L)
       .collect()
