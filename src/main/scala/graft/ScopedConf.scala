@@ -79,9 +79,35 @@ object ScopedConf {
     }
   }
 
+  /** Loop-shuffle width budget, in measured per-round ROWS per
+    * partition (r16, optimization round). A tiny-profile loop's
+    * per-round joins/aggregations used to shuffle at the session's
+    * static width — 32 near-empty partitions per stage per round for
+    * a KB-sized rank/label table, pure fixed task cost multiplied by
+    * (stages × rounds). The tiny branch (AQE is OFF there, so nothing
+    * else coalesces) now derives the width from the SAME measured
+    * per-round volume that picks the profile: 4 M rows/partition ≈
+    * 100–160 MB at the 24–40 B loop-row shapes (guide §2.2's
+    * partition sizing). Above [[TinyLoopRows]] the loop keeps session
+    * defaults — AQE owns the width there.
+    */
+  val LoopRowsPerPartitionKey = "spark.graft.loop.rowsPerPartition"
+  val LoopRowsPerPartitionDefault = 4L * 1000 * 1000
+
   /** Size-aware loop scope: tiny profile under [[TinyLoopRows]]
-    * per-round rows, session defaults (codegen + AQE) above.
+    * per-round rows (with the loop's shuffle width derived from that
+    * same measured volume — see [[LoopRowsPerPartitionKey]]), session
+    * defaults (codegen + AQE) above.
     */
   def forLoopOf[T](s: SparkSession, rowsPerRound: Long)(body: => T): T =
-    if (rowsPerRound <= TinyLoopRows) forTinyLoop(s)(body) else body
+    if (rowsPerRound <= TinyLoopRows) {
+      val per = s.conf.getOption(LoopRowsPerPartitionKey)
+        .flatMap(_.trim.toLongOption).filter(_ > 0)
+        .getOrElse(LoopRowsPerPartitionDefault)
+      val w = math.max(1L, math.min(rowsPerRound / per + 1, 4096L))
+      withConf(s,
+        "spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> w.toString)(body)
+    } else body
 }

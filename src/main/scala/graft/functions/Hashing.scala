@@ -76,12 +76,18 @@ object Hashing {
     * (id, simhash long). Same shape as [[minHashSignatures]]: one
     * native per-row expression ([[SimHashSig]]), map-side, no shuffle.
     */
-  def simHashes(df: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge
-    df.select(col(idCol),
-        GraftSqlBridge.column(
-          SimHashSig(GraftSqlBridge.expression(col(shinglesCol)))).as("simhash"))
+  def simHashes(df: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+    df.select(col(idCol), simHashCol(col(shinglesCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** [[SimHashSig]] as a bare Column — for callers that fuse the
+    * signature into a wider single-pass projection (q36 computes sim +
+    * exact-signature fields in ONE corpus pass since r16).
+    */
+  def simHashCol(shingles: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      SimHashSig(GraftSqlBridge.expression(shingles)))
   }
 
   /** LSH band keys: hash of each r-row slice of the signature

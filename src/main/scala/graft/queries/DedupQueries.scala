@@ -132,11 +132,45 @@ object DedupQueries {
     // construction (the invariant this knob exists to enforce), and
     // the compute-heavy stages keep their own explicit widths (the
     // signature map side runs at the scan/fanOut partitioning; the
-    // quadratic pair expansions repartition to
-    // max(defaultParallelism, width) unchanged). Large corpora are
+    // quadratic pair expansions size off their measured pair-volume
+    // estimate — see [[PairsPerTaskKey]]). Large corpora are
     // unaffected: past ~64 MB of scan bytes the derived width exceeds
     // any session width the driver uses.
     else (bytes / per + 1).min(BigInt(BucketMaxParts)).toInt
+  }
+
+  /** Quadratic pair-expansion width budget, in ESTIMATED PAIRS per
+    * task (r16, optimization round). The expansion stages used to
+    * spread to `max(defaultParallelism, bucketParts)` — a floor tuned
+    * to the local core count, the exact class of constant guide §2
+    * says to replace with a size-derived width. Every pipeline already
+    * MEASURES its pair volume before expanding (the `est_pairs`
+    * observation riding the bucket checkpoint's own job / q36's
+    * driver-side size census), so the width now follows that estimate:
+    * 2 Mi pairs per task ≈ 70–180 MB of expansion output (§2.2's
+    * 100 MB–1 GB partition target; pairs stream through the stage,
+    * nothing is held) and ~1–2 s of expansion CPU per task. Sized
+    * against the estimate's own bias: the oversized-bucket term
+    * (4·MaxBucket·sz) deliberately over-counts re-block output ~100×
+    * in the flood regime (it is a storage-escalation bound, not a
+    * prediction) — at 256 Ki/task that overestimate ballooned the
+    * flood gate's expansions to ~550 near-empty tasks (measured:
+    * q35 ×70 flood 9.0 → 21.4 s); at 2 Mi/task the same flood sizes
+    * to ~70, and a real 100 TB-scale pair set (billions) still gets
+    * thousands of partitions. Floored at the (corpus-proportional)
+    * bucket-table width so a corpus-wide bucket set is never
+    * funnelled down, and capped like [[BucketMaxParts]].
+    */
+  private[graft] val PairsPerTaskKey = "spark.graft.dedup.pairsPerTask"
+  private[graft] val PairsPerTaskDefault = 2097152L
+
+  private[graft] def expandWidth(s: SparkSession, estPairs: Long,
+      floor: Int): Int = {
+    val per = s.conf.getOption(PairsPerTaskKey)
+      .flatMap(_.trim.toLongOption).filter(_ > 0)
+      .getOrElse(PairsPerTaskDefault)
+    val est = math.min(estPairs / per + 1L, BucketMaxParts.toLong).toInt
+    math.max(math.max(1, floor), est)
   }
 
   /** q36 level-3 re-block budget, in KEYED ROWS (members × 8
@@ -499,14 +533,19 @@ object DedupQueries {
       // shuffle partition — but the stage BELOW is the quadratic pair
       // expansion, the pipeline's heavy compute. Spread the bucket
       // rows back across the cluster first (explicit repartition is
-      // exempt from AQE coalescing; the exchange is bucket-sized) —
-      // at least bucket-table-wide when the caller sized the agg.
-      .repartition(math.max(
-        buckets.sparkSession.sparkContext.defaultParallelism, width))
+      // exempt from AQE coalescing; the exchange is bucket-sized) at
+      // the caller's measured pair-volume width (r16 — see
+      // expandWidth / PairsPerTaskKey).
+      .repartition(math.max(1, width))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+      // NO per-call distinct (r16): a pair can recur only across
+      // TABLES (one code per vector per table), so the dedup belongs
+      // to the caller's single co-located distinct over the union —
+      // the per-call distinct paid a session-width exchange per branch
+      // and its partial agg caught nothing (within one bucket each
+      // pair is emitted once).
 
   /** Verify-stage feature fetch: prune the (big) feature table down to
     * the candidate-id set, then attach both sides' features to the
@@ -889,8 +928,11 @@ object DedupQueries {
               .otherwise(lit(4L * MaxBucket) * szEst)), lit(0L))
           .cast("long") // Column `/` is double division — cast back
           .as("est_pairs"))) }
-    maybeEscalatePairStorage(buckets.sparkSession,
-      obsEst.get("est_pairs").asInstanceOf[Long], "minhash")
+    val estPairs = obsEst.get("est_pairs").asInstanceOf[Long]
+    maybeEscalatePairStorage(buckets.sparkSession, estPairs, "minhash")
+    // pair-volume-derived width for the quadratic expansion stages AND
+    // the co-located pair dedup below (see PairsPerTaskKey)
+    val exWidth = expandWidth(buckets.sparkSession, estPairs, bucketParts)
     // Level 2 (q36/q37 parity, closing q35's last silent cap): a
     // NEAR-dup clique larger than MaxBucket floods all 16 band
     // buckets past the cap, and — unlike an exact clique — gets no
@@ -922,11 +964,11 @@ object DedupQueries {
       .filter(size(col("members")).between(2, MaxBucket))
     def expand(b: DataFrame, cap: Int): DataFrame = b
       .filter(size(col("members")) <= cap)
-      // spread the quadratic pair expansion (cf. bucketPairs); at
-      // least as wide as the bucket table itself (don't funnel a
-      // corpus-proportional bucket set back down to core count)
-      .repartition(math.max(
-        b.sparkSession.sparkContext.defaultParallelism, bucketParts))
+      // spread the quadratic pair expansion at the MEASURED pair
+      // volume (r16 — see PairsPerTaskKey), never narrower than the
+      // corpus-proportional bucket table itself (don't funnel a
+      // corpus-wide bucket set down to a constant)
+      .repartition(exWidth)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -942,10 +984,17 @@ object DedupQueries {
             greatest(col("x.n"), col("y.n")).cast("double") >= 0.5)
           .as("plausible"))
     val pairs = graft.RoundStats.timed("minhash_expand") {
-      // feeds two consumers (shortcut + verify): materialize once
+      // feeds two consumers (shortcut + verify): materialize once.
+      // The (a, b) hash repartition CO-LOCATES the cross-band dedup at
+      // the pair-volume width (r16): distinct's own exchange would run
+      // at the session's static width, and its map-side partial agg
+      // bought nothing here — duplicate pairs come from DIFFERENT band
+      // buckets, which the round-robin expansion spread lands in
+      // different partitions anyway.
       bigCheckpoint(expand(buckets.filter(col("band") < 16), MaxBucket)
         .union(expand(reblocked, MaxBucket))
         .union(expand(buckets.filter(col("band") === 16), Int.MaxValue))
+        .repartition(exWidth, col("a"), col("b"))
         .distinct()) }
     // `pairs` (its own lineage-cut checkpoint) was the bucket table's
     // only consumer — free the pipeline's largest block set now
@@ -1422,12 +1471,11 @@ object DedupQueries {
     * explode → a<b → Hamming filter. Shared by both blocking levels.
     */
   private def memberPairs(buckets: DataFrame, maxHamming: Int,
-      width: Int = -1): DataFrame =
+      width: Int): DataFrame =
     buckets
-      // spread the quadratic pair expansion (cf. bucketPairs), at
-      // least bucket-table-wide when the caller sized the bucket agg
-      .repartition(math.max(
-        buckets.sparkSession.sparkContext.defaultParallelism, width))
+      // spread the quadratic pair expansion at the caller's measured
+      // pair-volume width (r16 — see expandWidth / PairsPerTaskKey)
+      .repartition(math.max(1, width))
       .select(explode(col("members")).as("m"), col("members"))
       .select(col("m"), explode(col("members")).as("n"))
       .filter(col("m.doc_id") < col("n.doc_id"))
@@ -1588,11 +1636,14 @@ object DedupQueries {
           .filter(col("bsz") >= 2) // singleton buckets pair with nothing
         (f, agg, agg.collect())
       }
-    maybeEscalatePairStorage(flat.sparkSession,
-      sizeRows.iterator.map { r =>
-        val sz = r.getLong(2)
-        if (sz <= MaxBucket) sz * (sz - 1L) / 2L else 8L * MaxBucket * sz
-      }.sum, "simhash")
+    val estPairs = sizeRows.iterator.map { r =>
+      val sz = r.getLong(2)
+      if (sz <= MaxBucket) sz * (sz - 1L) / 2L else 8L * MaxBucket * sz
+    }.sum
+    maybeEscalatePairStorage(flat.sparkSession, estPairs, "simhash")
+    // pair-volume-derived expansion/dedup width (cf. minHashPairs) —
+    // here the estimate is the driver-side size census above
+    val exWidth = expandWidth(flat.sparkSession, estPairs, bucketParts)
     val memb = flat.join(
       broadcast(flat.sparkSession.createDataFrame(
         java.util.Arrays.asList(sizeRows: _*), sizesAgg.schema)),
@@ -1744,12 +1795,14 @@ object DedupQueries {
       .groupBy(col("m.sim").as("code"))
       .agg(collect_list(col("m")).as("members"))
       .filter(size(col("members")) >= 2)
-    memberPairs(small, maxHamming, bucketParts)
-      .union(memberPairs(reblocked, maxHamming, bucketParts))
+    memberPairs(small, maxHamming, exWidth)
+      .union(memberPairs(reblocked, maxHamming, exWidth))
       .union(pairs3)
-      .union(memberPairs(exactCliques, maxHamming, bucketParts))
+      .union(memberPairs(exactCliques, maxHamming, exWidth))
       // dedup across chunk tables AFTER the cheap Hamming filter:
-      // the exchange carries only true near-dup pairs
+      // the exchange carries only true near-dup pairs — co-located at
+      // the pair-volume width (r16, cf. minHashPairs's expand)
+      .repartition(exWidth, col("a"), col("b"))
       .distinct()
   }
 
@@ -1797,8 +1850,23 @@ object DedupQueries {
     val s = dedupSession(s0)
     val shingled = shingle2Of(fanOut(Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))))
-    val docs = Hashing.simHashes(shingled, "doc_id", "shingles")
-      .select(col("doc_id"), col("simhash").as("sim"))
+    // ONE corpus pass (r16, guide §1.2): the SimHash signature and the
+    // exact-shingle-set signature (n, h1, h2 — see the canon doc
+    // below) are both per-row functions of the shingle array, so they
+    // fuse into a single projection, checkpointed NARROW (5 longs per
+    // doc). Through r15 `shingled` fed the pair pipeline and the
+    // contract view as two separate lineages, so the tokenize +
+    // 2-shingle pass ran TWICE per q36 — a full redundant corpus scan
+    // at deployment scale (the same class as q136's r16 fix).
+    val sorted = array_sort(col("shingles"))
+    val sig = graft.RoundStats.timed("simhash_sig") {
+      bigCheckpoint(shingled.select(col("doc_id"),
+        Hashing.simHashCol(col("shingles")).as("sim"),
+        size(sorted).as("n"),
+        xxhash64(sorted).as("h1"),
+        xxhash64(lit("g2"), sorted).as("h2"))) }
+    val docs = sig.filter(col("sim").isNotNull)
+      .select(col("doc_id"), col("sim"))
     // feeds three aggregates below — materialize the pair pipeline once
     val pairs = graft.RoundStats.timed("simhash_pairs") {
       bigCheckpoint(simHashPairs(docs)) }
@@ -1807,13 +1875,9 @@ object DedupQueries {
     // equal sets at 2^-128 collision odds (q37's documented pattern),
     // and the equi-join exchange ships 24-byte keys instead of
     // corpus-sized text — at ×8 the string self-join dominated the
-    // contract view's cost.
-    val canon = graft.RoundStats.timed("simhash_canon") { shingled
-      .select(col("doc_id"), array_sort(col("shingles")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        xxhash64(col("sh")).as("h1"),
-        xxhash64(lit("g2"), col("sh")).as("h2"))
-      .localCheckpoint() }
+    // contract view's cost. Since r16 a plain projection of the
+    // single-pass `sig` checkpoint (no second corpus scan).
+    val canon = sig.select(col("doc_id"), col("n"), col("h1"), col("h2"))
     // Both contract probes pin sort-merge: canon is corpus-sized and
     // `pairs` is OUTPUT-sized, and with AQE off the planner's
     // under-estimate of the checkpointed/distinct()-derived sides
@@ -1959,8 +2023,10 @@ object DedupQueries {
               .otherwise(lit(4L * MaxBucket) * szEst)), lit(0L))
           .cast("long") // cf. minHashPairs: `/` is double division
           .as("est_pairs"))) }
-    maybeEscalatePairStorage(buckets.sparkSession,
-      obsEst.get("est_pairs").asInstanceOf[Long], "gram")
+    val estPairs = obsEst.get("est_pairs").asInstanceOf[Long]
+    maybeEscalatePairStorage(buckets.sparkSession, estPairs, "gram")
+    // pair-volume-derived expansion/dedup width (cf. minHashPairs)
+    val exWidth = expandWidth(buckets.sparkSession, estPairs, bucketParts)
     val small = buckets.filter(!col("isx") &&
       size(col("members")) <= MaxBucket)
     val exactBuckets = buckets.filter(col("isx"))
@@ -1988,10 +2054,9 @@ object DedupQueries {
       .groupBy("minkey", "subkey").agg(collect_list("m").as("members"))
       .filter(size(col("members")).between(2, MaxBucket))
     def expandSigPairs(b: DataFrame): DataFrame = b
-      // spread the quadratic pair expansion (cf. bucketPairs), at
-      // least bucket-table-wide (cf. minHashPairs's expand)
-      .repartition(math.max(
-        b.sparkSession.sparkContext.defaultParallelism, bucketParts))
+      // spread the quadratic pair expansion at the measured pair
+      // volume (r16 — cf. minHashPairs's expand; see PairsPerTaskKey)
+      .repartition(exWidth)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -2014,10 +2079,14 @@ object DedupQueries {
             greatest(col("x.n"), col("y.n")).cast("double") >= 0.3)
           .as("plausible"))
     val pairs = graft.RoundStats.timed("gram_expand") {
-      // feeds two consumers (shortcut + verify): materialize once
+      // feeds two consumers (shortcut + verify): materialize once.
+      // (a, b) repartition co-locates the cross-bucket dedup at the
+      // pair-volume width (r16 — cf. minHashPairs's expand: partial
+      // agg bought nothing, duplicates sit in different partitions)
       bigCheckpoint(expandSigPairs(small)
         .union(expandSigPairs(reblocked))
         .union(expandSigPairs(exactBuckets))
+        .repartition(exWidth, col("a"), col("b"))
         .distinct()) }
     // `pairs` (its own lineage-cut checkpoint) was the bucket table's
     // only consumer — free the pipeline's largest block set now
@@ -2129,6 +2198,8 @@ object DedupQueries {
         Lsh.srpCodes(col("embedding"), tables = 8, bits = 8),
         array(xxhash64(lit("exact-emb"), col("embedding")))))
         .as(Seq("tbl", "code")))
+    val szEst = size(col("ids")).cast("long")
+    val obsEst = Observation()
     val buckets = graft.RoundStats.timed("emb_buckets") {
       bigCheckpoint(coded
         .repartition(bucketParts, col("tbl"), col("code"))
@@ -2138,10 +2209,25 @@ object DedupQueries {
         // gives nearly every vector a unique bucket on a non-duplicated
         // corpus, so an unfiltered checkpoint materializes a
         // corpus-sized table the pair expansion immediately discards
-        .filter(size(col("ids")) >= 2)) }
-    bucketPairs(buckets.filter(col("tbl") < 8), width = bucketParts)
+        .filter(size(col("ids")) >= 2)
+        // pair-volume estimate riding the checkpoint job (cf.
+        // minHashPairs): capped SRP buckets expand C(sz,2) (oversized
+        // ones are dropped by the cap filter → 0), the exact-emb
+        // table (tbl 8) is uncapped by construction
+        .observe(obsEst, coalesce(sum(
+            when(col("tbl") === 8 || szEst <= MaxBucket,
+              szEst * (szEst - 1L) / 2L).otherwise(lit(0L))), lit(0L))
+          .cast("long") // cf. minHashPairs: `/` is double division
+          .as("est_pairs"))) }
+    // pair-volume-derived expansion/dedup width (cf. minHashPairs)
+    val exWidth = expandWidth(buckets.sparkSession,
+      obsEst.get("est_pairs").asInstanceOf[Long], bucketParts)
+    bucketPairs(buckets.filter(col("tbl") < 8), width = exWidth)
       .union(bucketPairs(buckets.filter(col("tbl") === 8),
-        cap = Int.MaxValue, width = bucketParts))
+        cap = Int.MaxValue, width = exWidth))
+      // ONE co-located cross-table dedup (r16 — replaces the per-call
+      // distincts, cf. minHashPairs's expand)
+      .repartition(exWidth, col("a"), col("b"))
       .distinct()
   }
 

@@ -278,12 +278,20 @@ object Extended14 {
     * exchange is the same single shuffle on the type key either way).
     */
   private def q106(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-    Tables.events(s, dir)
+    // Per-type mean/stddev as a PARTIAL-AGGREGATED groupBy + broadcast
+    // join-back (r16, guide §2.5): the old whole-partition window
+    // (`Window.partitionBy(event_type)` with an unbounded frame)
+    // shuffled the ENTIRE events table into #event_type partitions —
+    // a handful of partitions at any scale, i.e. the canonical
+    // window-skew anti-pattern (AQE skew handling does not apply to
+    // windows). The agg shuffles a few rows per type per map task;
+    // the corpus itself is never re-distributed.
+    val e = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("z",
-        (col("value") - avg(col("value")).over(w)) /
-          stddev_samp(col("value")).over(w))
+    val stats = e.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .filter(abs(col("z")) >= 2.5)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 3).as("z"))
