@@ -173,6 +173,32 @@ object DedupQueries {
     math.max(math.max(1, floor), est)
   }
 
+  /** Marks a [[dedupSession]] child (see there). */
+  private[graft] val DedupChildKey = "spark.graft.dedup.isChildSession"
+
+  /** Scope a dedup CHILD session's shuffle width to the pipeline's
+    * corpus (r16, optimization round; guide §2.2). The dedup family
+    * runs AQE-OFF (see [[dedupSession]]) so nothing coalesces its
+    * session-width exchanges — candidate-id distincts, cross-table
+    * pair dedups' residual unions, final orderBys — and they
+    * otherwise stay at the driver's static width: a constant tuned to
+    * the core count, near-empty at gate scale and potentially too
+    * NARROW at corpus scale. The width is the same measured
+    * bytes/partition derivation as [[bucketAggParts]] (this IS the
+    * AQE-equivalent for the opted-out family). Only a tagged child
+    * session is ever resized: pipeline internals invoked directly on
+    * a shared/suite session (DedupSpec, the bench warmup) keep the
+    * caller's width. Returns the derived width (= the bucket-agg
+    * width, so callers use it for their keyed exchanges too).
+    */
+  private def corpusSizedSession(scan: DataFrame): Int = {
+    val w = bucketAggParts(scan)
+    val s = scan.sparkSession
+    if (s.conf.getOption(DedupChildKey).contains("true"))
+      s.conf.set("spark.sql.shuffle.partitions", w.toString)
+    w
+  }
+
   /** q36 level-3 re-block budget, in KEYED ROWS (members × 8
     * interleaved keys — the unit is kept from r12 so a pinned conf
     * keeps its meaning). Through r12 level 3 ran as a global
@@ -479,6 +505,11 @@ object DedupQueries {
     s2.conf.set("spark.sql.session.timeZone",
       s.conf.get("spark.sql.session.timeZone"))
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // marks this as a PIPELINE-SCOPED session: [[corpusSizedSession]]
+    // may re-derive its shuffle width from the corpus scan (never a
+    // caller's shared session — specs call pipeline internals on the
+    // suite session directly, and a width mutation there would leak)
+    s2.conf.set(DedupChildKey, "true")
     s2.conf.set(CandBroadcastMaxKey,
       s.conf.get(CandBroadcastMaxKey, CandBroadcastMaxDefault.toString))
     // Propagate a pair-storage level ONLY when the parent pinned one
@@ -868,7 +899,7 @@ object DedupQueries {
   private[graft] def jaccardCol(a: Column, b: Column): Column = jaccard(a, b)
 
   private[graft] def minHashPairs(raw: DataFrame): DataFrame = {
-    val bucketParts = bucketAggParts(raw)
+    val bucketParts = corpusSizedSession(raw)
     // Band keys PLUS an exact-signature key (band index 16, the q37
     // salted-h1 move, r7): an exact-dup clique larger than MaxBucket
     // floods ALL its band buckets past the cap — without this key its
@@ -1156,6 +1187,11 @@ object DedupQueries {
           "DISK_ONLY")
         s.conf.set(PairStorageKey, "DISK_ONLY")
       }
+      // corpus-sized child-session width (cf. corpusSizedSession) —
+      // AFTER the storage-policy check above, which compares the stat
+      // width against the DRIVER's width as its memory-regime proxy
+      if (s.conf.getOption(DedupChildKey).contains("true"))
+        s.conf.set("spark.sql.shuffle.partitions", statParts.toString)
       val buckets = graft.RoundStats.timed("incr_index") {
         bigCheckpoint(minHashKeyed(shingle2Of(rawBase))
           .repartition(bucketParts, col("band"), col("key"))
@@ -1601,7 +1637,7 @@ object DedupQueries {
     // scan-stat-sized bucket exchanges (cf. minHashPairs) — sized off
     // `docs`' own plan stats (the (id, code) projection), the actual
     // pre-shuffle relation here
-    val bucketParts = bucketAggParts(docs)
+    val bucketParts = corpusSizedSession(docs)
     // LEVEL-1 MEMBERSHIP STAYS FLAT (r13, found by the ×2048 distinct
     // probe): the chunk key space is only 8×256 = 2048 values, so the
     // old collect_list here sat UNDER ObjectHashAggregate's 128-key
@@ -1970,7 +2006,7 @@ object DedupQueries {
     * (factored for the flood spec, cf. [[minHashPairs]]).
     */
   private[graft] def gramJaccardPairs(raw: DataFrame): DataFrame = {
-    val bucketParts = bucketAggParts(raw)
+    val bucketParts = corpusSizedSession(raw)
     val docs = gram3Of(raw)
     // Bind the sorted hash array as an attribute before fanning it
     // into h1/h2/sk (cf. q36: unbound HOF chains re-evaluate per
@@ -2192,7 +2228,7 @@ object DedupQueries {
     */
   private[graft] def embeddingPairs(emb: DataFrame): DataFrame = {
     // scan-stat-sized bucket exchange (cf. minHashPairs)
-    val bucketParts = bucketAggParts(emb)
+    val bucketParts = corpusSizedSession(emb)
     val coded = emb.select(col("vec_id"),
       posexplode(concat(
         Lsh.srpCodes(col("embedding"), tables = 8, bits = 8),
