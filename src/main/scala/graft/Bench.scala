@@ -529,9 +529,14 @@ object Bench {
       try { w.write(full); w.write("\n") } finally w.close()
     }
     // Compact summary LAST: everything a tail-window reader needs.
+    // Since r17 it carries the FULL per-query wall map (~4 KB for 139
+    // queries): the driver parses only this last line, and without the
+    // map its round-over-round per-query comparison was empty in BOTH
+    // r15 and r16 (PERF n_common: 0 — VERDICT r16 #2). Additions-only:
+    // every pre-existing field is unchanged.
     val slow = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"dumped":$dmp,"slowest":$slow,"env":$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"errors":$errs,"dumped":$dmp,"slowest":$slow,"env":$env,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -557,7 +557,12 @@ object DedupQueries {
     * expansion is output-sized by construction.
     */
   private def bucketPairs(buckets: DataFrame,
-      cap: Int = MaxBucket, width: Int = -1): DataFrame =
+      cap: Int = MaxBucket, width: Int): DataFrame = {
+    // width is REQUIRED (r17, ADVICE r16): after the r16 floor removal
+    // a defaulted -1 would silently serialize the quadratic expansion
+    // onto one partition; callers must pass their measured expandWidth
+    // (cf. memberPairs, which was made explicit in the same r16 diff).
+    require(width > 0, s"bucketPairs width must be positive, got $width")
     buckets
       .filter(size(col("ids")).between(2, cap))
       // AQE rightly coalesces the (tiny) bucket shuffle to ~1 post-
@@ -577,6 +582,7 @@ object DedupQueries {
       // the per-call distinct paid a session-width exchange per branch
       // and its partial agg caught nothing (within one bucket each
       // pair is emitted once).
+  }
 
   /** Verify-stage feature fetch: prune the (big) feature table down to
     * the candidate-id set, then attach both sides' features to the
@@ -1189,7 +1195,13 @@ object DedupQueries {
       }
       // corpus-sized child-session width (cf. corpusSizedSession) —
       // AFTER the storage-policy check above, which compares the stat
-      // width against the DRIVER's width as its memory-regime proxy
+      // width against the DRIVER's width as its memory-regime proxy.
+      // This resize is ALSO the q136/q137 pipeline width (r17, ADVICE
+      // r16 #4 clarified): incrementalPairsWith/incrementalApplyWith
+      // run on idx.buckets.sparkSession — i.e. THIS session — so their
+      // candidate distincts, probe joins and final stages inherit the
+      // base-corpus width set here; only the nn leg's expansion widths
+      // re-derive from the shard's own scan stats (smaller by design).
       if (s.conf.getOption(DedupChildKey).contains("true"))
         s.conf.set("spark.sql.shuffle.partitions", statParts.toString)
       val buckets = graft.RoundStats.timed("incr_index") {

@@ -290,7 +290,16 @@ object Extended14 {
       .select(col("event_id"), col("event_type"), col("value"))
     val stats = e.groupBy("event_type")
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
-    e.join(broadcast(stats), "event_type")
+      .withColumnRenamed("event_type", "stats_type")
+    // NULL-SAFE join key (r17, ADVICE r16): groupBy treats NULL
+    // event_type as its own group — exactly like the window/oracle
+    // PARTITION BY — but a plain equi-join would silently drop those
+    // rows from the join-back. `<=>` keeps NULL-typed rows attached to
+    // their group stats; BroadcastHashJoin supports null-safe keys, so
+    // the plan shape (partial agg → tiny exchange → broadcast
+    // join-back) is unchanged.
+    e.join(broadcast(stats), e("event_type") <=> col("stats_type"))
+      .drop("stats_type")
       .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .filter(abs(col("z")) >= 2.5)
       .select(col("event_id"), col("event_type"), col("value"),
